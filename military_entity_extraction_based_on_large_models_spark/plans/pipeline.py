@@ -1,0 +1,90 @@
+"""End-to-end KG construction pipeline (SURVEY.md §7.0 stages 1-5).
+
+ingest → extract → link → dedup → (canonicalize) → materialize triples.
+
+Each stage is a pure DataFrame→DataFrame function; the composition here is
+the Spark-native equivalent of the reference's best cascade
+(reflect_workflow3.py:93-217: extract → dedup → route → candidate-generate →
+verify → normalize → materialize).  The whole plan is lazy — Catalyst sees
+one tree and can pushdown/prune across stage boundaries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+
+from ..operators.canonicalize import canonical_clusters
+from ..operators.extract import dedup_mentions, extract_mentions
+from ..operators.linking import link_mentions
+from ..operators.triples import materialize_triples
+from ..sources.gazetteer import CONTEXT_TERMS, MILITARY_GAZETTEER
+from . import lineage
+
+
+def kg_pipeline(
+    docs: DataFrame,
+    gazetteer: Sequence[tuple[str, str, str]] = MILITARY_GAZETTEER,
+    context_terms: Mapping[str, Sequence[str]] | None = None,
+) -> DataFrame:
+    """documents(repo, path, commit, lang, content [, doc_sha]) → triples."""
+    if "doc_sha" not in docs.columns:
+        from ..sources.documents import with_doc_sha
+
+        docs = with_doc_sha(docs)
+    mentions = extract_mentions(docs, gazetteer)
+    linked = link_mentions(mentions, context_terms or CONTEXT_TERMS)
+    deduped = dedup_mentions(linked)
+    return materialize_triples(deduped)
+
+
+def kg_mentions(
+    docs: DataFrame,
+    gazetteer: Sequence[tuple[str, str, str]] = MILITARY_GAZETTEER,
+) -> DataFrame:
+    """documents → deduped (doc, name, label) mention rows (stage 2+D1 only)."""
+    if "doc_sha" not in docs.columns:
+        from ..sources.documents import with_doc_sha
+
+        docs = with_doc_sha(docs)
+    return dedup_mentions(extract_mentions(docs, gazetteer))
+
+
+def kg_pipeline_with_canonicalization(
+    docs: DataFrame,
+    gazetteer: Sequence[tuple[str, str, str]] = MILITARY_GAZETTEER,
+    context_terms: Mapping[str, Sequence[str]] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Full pipeline + connected-components canonical clusters.
+
+    Returns (triples, clusters) where clusters maps every surface form and
+    canonical id to its component representative.
+    """
+    if "doc_sha" not in docs.columns:
+        from ..sources.documents import with_doc_sha
+
+        docs = with_doc_sha(docs)
+    mentions = extract_mentions(docs, gazetteer)
+    linked = link_mentions(mentions, context_terms or CONTEXT_TERMS)
+    deduped = dedup_mentions(linked)
+    clusters = canonical_clusters(deduped)
+    triples = materialize_triples(deduped)
+    return triples, clusters
+
+
+def run_resumable(
+    docs: DataFrame,
+    out_dir: str,
+    gazetteer: Sequence[tuple[str, str, str]] = MILITARY_GAZETTEER,
+    n_buckets: int = 64,
+) -> None:
+    """Checkpointed end-to-end run: skip committed buckets, write the rest
+    idempotently with a per-partition lineage manifest (north rule)."""
+    if "doc_sha" not in docs.columns:
+        from ..sources.documents import with_doc_sha
+
+        docs = with_doc_sha(docs)
+    remaining = lineage.resume_filter(docs, out_dir, n_buckets)
+    triples = kg_pipeline(remaining.drop("part_bucket"), gazetteer)
+    lineage.write_with_lineage(triples, out_dir, n_buckets)

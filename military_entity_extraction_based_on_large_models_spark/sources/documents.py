@@ -1,0 +1,68 @@
+"""Document-corpus sources.
+
+The engine's canonical input is the BASELINE.json ``input_hint`` table::
+
+    documents(repo: string, path: string, commit: string, lang: string,
+              content: string)
+
+(the Iceberg-shaped analogue of the reference's ``{doc_id -> {"text"}}`` JSON
+corpus, foundation_workflow.py:53-54).  Two readers:
+
+* :func:`read_documents` — parquet/Iceberg scan of an input_hint-shaped table.
+* :func:`read_driver_documents` — adapter over the driver testdata's
+  ``documents.parquet`` (columns doc_id, text, lang, source, n_chars),
+  projecting it into input_hint shape so every KG operator runs unchanged.
+
+Both attach ``doc_sha = sha2(content, 256)`` — the per-row lineage invariant
+the north rule requires carried through every stage — and repartition by
+``hash(repo, path)`` (mega-repo skew clause) only when asked: at read time the
+parquet split already balances bytes; the explicit repartition matters before
+wide per-doc UDF stages where row cost, not byte count, dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def with_doc_sha(df: DataFrame) -> DataFrame:
+    """Attach the per-row content lineage key (input_hint invariant)."""
+    return df.withColumn("doc_sha", F.sha2(F.col("content"), 256))
+
+
+def read_documents(
+    spark: SparkSession, path: str, repartition_by_repo_path: bool = False
+) -> DataFrame:
+    """Scan an input_hint-shaped parquet/Iceberg table.
+
+    Column pruning and predicate pushdown are Catalyst's job — callers filter
+    and select on the returned frame and the scan narrows automatically
+    (verify with ``df.explain``: PushedFilters / ReadSchema).
+    """
+    df = spark.read.parquet(path) if path.endswith(".parquet") or "://" not in path else spark.read.format("iceberg").load(path)
+    df = with_doc_sha(df.select(*DOC_COLUMNS))
+    if repartition_by_repo_path:
+        # Balance per-document compute cost ahead of the extraction UDF; at
+        # cluster scale this also breaks up mega-repo file locality skew.
+        df = df.repartition(F.pmod(F.hash("repo", "path"), F.lit(2048)))
+    return df
+
+
+def read_driver_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver testdata documents.parquet → input_hint shape.
+
+    doc_id → path (stringified), source → repo, text → content; commit is a
+    deterministic function of (repo, path) as in FIXTURES.md §1.
+    """
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = raw.select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.substring(F.sha2(F.concat_ws("/", "source", F.col("doc_id").cast("string")), 256), 1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    return with_doc_sha(df)
