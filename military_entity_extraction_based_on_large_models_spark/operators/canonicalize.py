@@ -76,6 +76,21 @@ def connected_components(
         )
         new_comp = partial.groupBy("node").agg(F.min("component").alias("component"))
 
+        # pointer jumping (path doubling): follow component → component's
+        # component, so convergence is O(log diameter) rounds, not O(diameter)
+        parent = new_comp.select(
+            F.col("node").alias("component"), F.col("component").alias("grand")
+        )
+        new_comp = (
+            new_comp.join(parent, "component", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("grand"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+
         changed = (
             new_comp.alias("n")
             .join(comp.alias("o"), "node")

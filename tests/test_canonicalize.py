@@ -1,0 +1,62 @@
+"""Connected-components canonicalization: known component structures."""
+
+from __future__ import annotations
+
+from military_entity_extraction_based_on_large_models_spark.operators.canonicalize import (
+    canonical_clusters,
+    connected_components,
+)
+
+
+def _components(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    comp = connected_components(df, salt_buckets=4, checkpoint_every=2)
+    out: dict[str, set[str]] = {}
+    for r in comp.collect():
+        out.setdefault(r["component"], set()).add(r["node"])
+    return set(frozenset(v) for v in out.values())
+
+
+def test_cc_two_chains_and_isolate(spark):
+    comps = _components(
+        spark,
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "p")],
+    )
+    assert comps == {
+        frozenset({"a", "b", "c"}),
+        frozenset({"x", "y"}),
+        frozenset({"p", "q"}),
+    }
+
+
+def test_cc_long_path_converges(spark):
+    n = 30
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n)]
+    comps = _components(spark, edges)
+    assert comps == {frozenset({f"n{i:02d}" for i in range(n + 1)})}
+
+
+def test_cc_star_hot_key(spark):
+    # hot node: one hub connected to 50 spokes (salted agg path)
+    edges = [("hub", f"s{i}") for i in range(50)]
+    comps = _components(spark, edges)
+    assert len(comps) == 1 and len(next(iter(comps))) == 51
+
+
+def test_canonical_clusters_collapse_aliases(spark):
+    linked = spark.createDataFrame(
+        [
+            ("F-16", "ent_f16"),
+            ("Fighting Falcon", "ent_f16"),
+            ("HIMARS", "ent_himars"),
+        ],
+        ["name", "canonical"],
+    )
+    fuzzy = spark.createDataFrame([("F-16", "F16")], ["name_a", "name_b"])
+    comp = canonical_clusters(linked, fuzzy)
+    by_comp: dict[str, set[str]] = {}
+    for r in comp.collect():
+        by_comp.setdefault(r["component"], set()).add(r["node"])
+    comps = set(frozenset(v) for v in by_comp.values())
+    assert frozenset({"F-16", "F16", "Fighting Falcon", "ent_f16"}) in comps
+    assert frozenset({"HIMARS", "ent_himars"}) in comps
