@@ -1,0 +1,60 @@
+"""Bounding-box geometry as pure column arithmetic.
+
+The reference computes IoU in a scalar Python function copied four times
+(compute_iou: judge/judge.py:3-28, judge_entity.py:5-30, judge_song.py:3-28,
+judge_entity_song.py:5-31) and box area inline (judge_song.py:60-67).  Both
+are plain arithmetic → ``greatest``/``least`` column expressions, fully
+codegen'd, no UDF.
+
+Boxes are the reference's normalized struct (foundation_workflow.py:101-106):
+``struct<xmin:int, ymin:int, xmax:int, ymax:int>``, nullable (null = entity
+not groundable, foundation_workflow.py:107-108).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+BOX_SCHEMA = StructType(
+    [
+        StructField("xmin", IntegerType()),
+        StructField("ymin", IntegerType()),
+        StructField("xmax", IntegerType()),
+        StructField("ymax", IntegerType()),
+    ]
+)
+
+
+def box(xmin: Column, ymin: Column, xmax: Column, ymax: Column) -> Column:
+    """Build a box struct from int-castable columns (reference P10/P11:
+    array→dict normalization + int coercion, judge/judge.py:11)."""
+    return F.struct(
+        xmin.cast("int").alias("xmin"),
+        ymin.cast("int").alias("ymin"),
+        xmax.cast("int").alias("xmax"),
+        ymax.cast("int").alias("ymax"),
+    )
+
+
+def area(b: Column) -> Column:
+    """(xmax-xmin)*(ymax-ymin), clamped at 0 — judge_song.py:60-67."""
+    return F.greatest(b["xmax"] - b["xmin"], F.lit(0)) * F.greatest(
+        b["ymax"] - b["ymin"], F.lit(0)
+    )
+
+
+def iou(a: Column, b: Column) -> Column:
+    """Intersection-over-union, exactly compute_iou (judge/judge.py:3-28):
+    inter = max(0, min(xmax)-max(xmin)) * max(0, min(ymax)-max(ymin));
+    iou = inter / (area_a + area_b - inter); 0 when union is 0."""
+    ix = F.greatest(
+        F.least(a["xmax"], b["xmax"]) - F.greatest(a["xmin"], b["xmin"]), F.lit(0)
+    )
+    iy = F.greatest(
+        F.least(a["ymax"], b["ymax"]) - F.greatest(a["ymin"], b["ymin"]), F.lit(0)
+    )
+    inter = (ix * iy).cast("double")
+    union = area(a).cast("double") + area(b).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -1,0 +1,118 @@
+"""Text-analysis column functions for corpus curation at scale.
+
+All pure column expressions (JVM codegen; no Python), designed to be
+DuckDB-oracle-expressible so the driver's correctness gate covers them:
+
+* token_count       — whitespace tokenization count
+* quality features  — length, punctuation ratio, stopword ratio, mean token
+                      length, and a composite quality score
+* fingerprint       — md5 document fingerprint (exact-dup key)
+* shingles          — word n-gram array (dedup/minhash input)
+* lang_id           — tiny deterministic n-gram/stopword heuristic (its word
+                      lists are arbitrary; the semantics — argmax of per-
+                      language evidence counts — mirror public langid designs)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for",
+]
+
+# tiny per-language evidence lists for the heuristic language identifier
+LANG_EVIDENCE: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties removed (BPE-ish splitting is regex-based:
+    split on any non-word run)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_tokens(col: Column) -> Column:
+    """Lowercased word tokens split on non-alphanumeric runs."""
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != "")
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.when(
+        F.length(col) > 0, F.length(stripped).cast("double") / F.length(col)
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = word_tokens(col)
+    stops = F.filter(toks, lambda t: t.isin(STOPWORDS))
+    return F.when(
+        F.size(toks) > 0, F.size(stops).cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite curation score in [0,1]: rewards moderate length and normal
+    punctuation/stopword profiles (public-heuristic style, cf. C4/Gopher
+    rules)."""
+    length_ok = F.when(
+        (F.length(col) >= 20) & (F.length(col) <= 5000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(col) <= 0.6, F.lit(1.0)).otherwise(F.lit(0.0))
+    tok_ok = F.when(
+        (mean_token_len(col) >= 2.0) & (mean_token_len(col) <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return (length_ok + punct_ok + stop_ok + tok_ok) / F.lit(4.0)
+
+
+def fingerprint(col: Column) -> Column:
+    """Exact-duplicate key: md5 over whitespace-normalized lowercase text."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram array over lowercased word tokens (minhash/jaccard input)."""
+    toks = word_tokens(col)
+    return F.when(F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def lang_evidence(col: Column, lang: str) -> Column:
+    toks = word_tokens(col)
+    return F.size(F.filter(toks, lambda t: t.isin(LANG_EVIDENCE[lang])))
+
+
+def lang_id(col: Column) -> Column:
+    """argmax of per-language stopword evidence; 'und' (undetermined) when no
+    evidence at all."""
+    pairs = [
+        F.struct(lang_evidence(col, lang).alias("n"), F.lit(lang).alias("lang"))
+        for lang in sorted(LANG_EVIDENCE)
+    ]
+    best = F.array_max(F.array(*pairs))  # max by (n, then lang desc)
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))

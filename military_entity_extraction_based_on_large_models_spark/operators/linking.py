@@ -100,13 +100,13 @@ def fuzzy_block_candidates(
             )
         ),
     )
+    from .dedup import _seeded_hash
+
     sig = shingled
     for h in range(n_hashes):
         sig = sig.withColumn(
             f"mh_{h}",
-            F.array_min(
-                F.transform("shingles", lambda s, _h=h: F.xxhash64(s, F.lit(_h)))
-            ),
+            F.array_min(F.transform("shingles", _seeded_hash(h))),
         )
     band_rows = []
     for b in range(n_bands):

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns.
+
+* brute_force_topk — exact cosine top-k: queries (small) are broadcast
+  against the corpus; per-corpus-partition scoring, then a global top-k via
+  window row_number.  Correct baseline at any scale where |queries| is
+  broadcastable.
+* lsh_topk — random-hyperplane-bucketed approximate variant: corpus and
+  queries are sketched (same deterministic hyperplanes as
+  dedup.embedding_neardup_pairs); candidates come only from buckets within
+  Hamming distance ≤ r of the query's sketch (multi-probe), then exact
+  rescoring.  At 100 TB this is the scale path: the join is
+  bucket-equi, not a cross join.
+
+All vector math is built-in higher-order functions (functions.vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def _plane_term(k: int):
+    """Factory closure (no default params — PySpark would reinterpret the
+    lambda arity): ± sign of component j under pseudo-plane k."""
+    return lambda x, j: x.cast("double") * F.when(
+        F.pmod(F.xxhash64(j, F.lit(k)), F.lit(2)) == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+
+
+def _sketch(vec_col, n_planes: int):
+    sk = F.lit(0)
+    for k in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                _plane_term(k),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sk = sk + F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    return sk
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query.
+
+    (query_id, neighbor_id, cosine, rank); ties broken by neighbor_id asc so
+    results are deterministic.  ``queries`` must be small — it is broadcast,
+    making the "cross" join a map-side nested loop with no corpus shuffle;
+    the only shuffle is the final per-query top-k.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", V.cosine(F.col("cv"), F.col("qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: sign-sketch bucketing + multi-probe (flip up to
+    ``probe_hamming`` sketch bits), exact cosine rescoring inside buckets.
+
+    Recall < 1.0 by construction; the scale win is that the candidate join is
+    equi on the bucket id.  Query sketches are exploded into probe buckets
+    (1 + n_planes·probe_hamming rows each) and broadcast.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("bucket", _sketch(F.col("cv"), n_planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("sketch", _sketch(F.col("qv"), n_planes))
+    probes = [F.col("sketch")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("sketch").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
+        ]
+    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+    cand = c.join(F.broadcast(q), "bucket").withColumn(
+        "cosine", V.cosine(F.col("cv"), F.col("qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select("query_id", "neighbor_id", "cosine")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,76 @@
+"""Dedup operator family: exact, MinHash-LSH, SimHash, Jaccard, embedding."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from military_entity_extraction_based_on_large_models_spark.operators import dedup
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(f"d{i:03d}", t) for i, t in enumerate(texts)], ["doc_sha", "content"]
+    )
+
+
+BASE = (
+    "the allied convoy moved through the northern sector at dawn carrying "
+    "supplies for the forward operating base near the river crossing"
+)
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark, [BASE, BASE, "  " + BASE.upper() + " ", "something else entirely"])
+    survivors = dedup.exact_dedup(docs)
+    assert survivors.count() == 2  # normalized dup collapses; min id d000 wins
+    ids = {r["doc_sha"] for r in survivors.collect()}
+    assert ids == {"d000", "d003"}
+    groups = dedup.exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["dup_count"] == 3
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    near = BASE.replace("dawn", "dusk")
+    docs = _docs(spark, [BASE, near, "completely different text about spark query engines"])
+    # 1-row bands → detection prob 1-(1-J)^8 ≈ 1 for this pair's J ≈ 0.7;
+    # the hash outcome is deterministic, so the assertion is stable
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, n_hashes=8, n_bands=8).collect()
+    }
+    assert ("d000", "d001") in pairs
+    assert ("d000", "d002") not in pairs and ("d001", "d002") not in pairs
+
+
+def test_ngram_jaccard_verifies(spark):
+    near = BASE.replace("dawn", "dusk")
+    docs = _docs(spark, [BASE, near, "unrelated words entirely here"])
+    cands = dedup.minhash_lsh_pairs(docs, n_hashes=8, n_bands=8)
+    verified = dedup.ngram_jaccard_pairs(docs, candidate_pairs=cands, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in verified} == {("d000", "d001")}
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in verified)
+
+
+def test_simhash_deterministic_and_blocks(spark):
+    near = BASE.replace("dawn", "dusk")
+    docs = _docs(spark, [BASE, near, "zzz qqq entirely disjoint vocabulary xxx yyy www"])
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    sh2 = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh == sh2  # deterministic
+    # near-dup docs differ in few bits; blocking should pair them
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.simhash_neardup_pairs(docs).collect()}
+    assert ("d000", "d001") in pairs
+
+
+def test_embedding_neardup(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+            (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+    assert pairs[0]["cosine"] > 0.99

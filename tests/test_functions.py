@@ -1,0 +1,95 @@
+"""Scalar-function layer: IoU/area vs the reference's compute_iou, text
+features, vector math — all checked against pure-Python recomputation."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from military_entity_extraction_based_on_large_models_spark.functions import (
+    geometry as G,
+)
+from military_entity_extraction_based_on_large_models_spark.functions import text as T
+from military_entity_extraction_based_on_large_models_spark.functions import (
+    vectors as V,
+)
+
+
+def _py_iou(a, b):
+    # transliteration of judge/judge.py:3-28 semantics for the test oracle
+    ix = max(0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    area_a = max(a[2] - a[0], 0) * max(a[3] - a[1], 0)
+    area_b = max(b[2] - b[0], 0) * max(b[3] - b[1], 0)
+    union = area_a + area_b - inter
+    return inter / union if union > 0 else 0.0
+
+
+def test_iou_matches_reference_semantics(spark):
+    cases = [
+        ((0, 0, 10, 10), (0, 0, 10, 10)),   # identical → 1.0
+        ((0, 0, 10, 10), (5, 5, 15, 15)),   # partial
+        ((0, 0, 10, 10), (20, 20, 30, 30)), # disjoint → 0.0
+        ((0, 0, 10, 10), (2, 2, 8, 8)),     # contained
+        ((0, 0, 0, 0), (0, 0, 0, 0)),       # degenerate → 0.0
+        ((0, 0, 10, 10), (4, 0, 14, 10)),   # IoU ≈ 0.428 (below 0.5)
+        ((0, 0, 10, 10), (2, 0, 12, 10)),   # IoU ≈ 0.667 (above 0.5)
+    ]
+    df = spark.createDataFrame(
+        [(list(a), list(b)) for a, b in cases], ["a", "b"]
+    ).select(
+        G.box(F.col("a")[0], F.col("a")[1], F.col("a")[2], F.col("a")[3]).alias("ba"),
+        G.box(F.col("b")[0], F.col("b")[1], F.col("b")[2], F.col("b")[3]).alias("bb"),
+    )
+    got = [r[0] for r in df.select(G.iou(F.col("ba"), F.col("bb"))).collect()]
+    for (a, b), g in zip(cases, got):
+        assert math.isclose(g, _py_iou(a, b), abs_tol=1e-12), (a, b, g)
+
+
+def test_text_features(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox and the lazy dog!!!",), ("",), ("x",)], ["t"]
+    )
+    rows = df.select(
+        T.token_count(F.col("t")).alias("n"),
+        F.round(T.punct_ratio(F.col("t")), 6).alias("p"),
+        F.round(T.stopword_ratio(F.col("t")), 6).alias("s"),
+        T.lang_id(F.col("t")).alias("lang"),
+        T.fingerprint(F.col("t")).alias("fp"),
+    ).collect()
+    assert rows[0]["n"] == 8
+    assert rows[0]["p"] == round(3 / len("the quick brown fox and the lazy dog!!!"), 6)
+    assert rows[0]["s"] == round(3 / 8, 6)  # the, and, the
+    assert rows[0]["lang"] == "en"
+    assert rows[1]["n"] == 0 and rows[1]["lang"] == "und"
+    # fingerprint is normalization-insensitive
+    df2 = spark.createDataFrame(
+        [("  THE   quick brown fox and the lazy dog!!! ",)], ["t"]
+    )
+    fp2 = df2.select(T.fingerprint(F.col("t"))).first()[0]
+    assert fp2 == rows[0]["fp"]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["t"])
+    got = [r[0] for r in df.select(T.shingles(F.col("t"), 3)).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b"]  # shorter than n → whole text
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [1.0, 2.0]), ([0.0, 0.0], [1.0, 1.0])],
+        ["a", "b"],
+    )
+    rows = df.select(
+        V.dot(F.col("a"), F.col("b")).alias("d"),
+        V.cosine(F.col("a"), F.col("b")).alias("c"),
+        V.l2_distance(F.col("a"), F.col("b")).alias("l2"),
+    ).collect()
+    assert rows[0]["d"] == 0.0 and rows[0]["c"] == 0.0
+    assert math.isclose(rows[1]["c"], 1.0)
+    assert math.isclose(rows[0]["l2"], math.sqrt(2))
+    assert rows[2]["c"] == 0.0  # zero vector → defined 0

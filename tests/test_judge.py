@@ -1,0 +1,98 @@
+"""Judge operators vs the reference's matching rules (judge/judge_entity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from military_entity_extraction_based_on_large_models_spark.operators import judge
+
+
+def _box(xmin, ymin, xmax, ymax):
+    return Row(xmin=xmin, ymin=ymin, xmax=xmax, ymax=ymax)
+
+
+def _frame(spark, rows):
+    from military_entity_extraction_based_on_large_models_spark.functions.geometry import (
+        BOX_SCHEMA,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_key", StringType()),
+            StructField("name", StringType()),
+            StructField("label", StringType()),
+            StructField("bnd", BOX_SCHEMA),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_matching_rules(spark):
+    gold = _frame(
+        spark,
+        [
+            ("d1", "F-16", "aircraft", _box(0, 0, 10, 10)),
+            ("d1", "NATO", "other", None),                      # both-null case
+            ("d2", "Leopard 2", "vehicle", _box(0, 0, 10, 10)),
+            ("d3", "G36", "weapon", _box(0, 0, 10, 10)),        # unmatched gold
+        ],
+    )
+    pred = _frame(
+        spark,
+        [
+            ("d1", "F-16", "aircraft", _box(1, 1, 11, 11)),     # IoU≈0.68 → match
+            ("d1", "NATO", "other", None),                      # null-null → match
+            ("d2", "Leopard 2", "vehicle", _box(8, 8, 18, 18)), # IoU≈0.02 → no
+            ("d4", "HIMARS", "weapon", None),                   # doc not in gold
+        ],
+    )
+    m = judge.matched_pairs(pred, gold)
+    got = {(r["doc_key"], r["name"]) for r in m.collect()}
+    assert got == {("d1", "F-16"), ("d1", "NATO")}
+
+    prf = judge.micro_prf(pred, gold).first()
+    assert prf["tp"] == 2 and prf["pred_total"] == 4 and prf["gold_total"] == 4
+    assert abs(prf["precision"] - 0.5) < 1e-12
+    assert abs(prf["f1"] - 0.5) < 1e-12
+
+
+def test_greedy_one_to_one(spark):
+    # two identical preds, one gold → only one TP (matched-gold bitmap,
+    # text_panduan.py:119-139)
+    gold = _frame(spark, [("d1", "G36", "weapon", None)])
+    pred = _frame(spark, [("d1", "G36", "weapon", None), ("d1", "G36", "weapon", None)])
+    assert judge.matched_pairs(pred, gold).count() == 1
+
+
+def test_per_label_prf(spark):
+    gold = _frame(
+        spark,
+        [("d1", "F-16", "aircraft", None), ("d1", "G36", "weapon", None)],
+    )
+    pred = _frame(
+        spark,
+        [("d1", "F-16", "aircraft", None), ("d1", "Javelin", "weapon", None)],
+    )
+    rows = {r["label"]: r for r in judge.per_label_prf(pred, gold).collect()}
+    assert rows["aircraft"]["f1"] == 1.0
+    assert rows["weapon"]["tp"] == 0 and rows["weapon"]["precision"] == 0.0
+
+
+def test_sample_accuracy_and_max_area(spark):
+    gold = _frame(
+        spark,
+        [
+            ("d1", "F-16", "aircraft", None),
+            ("d2", "G36", "weapon", _box(0, 0, 2, 2)),
+            ("d2", "G36", "weapon", _box(0, 0, 50, 50)),  # max-area rep
+        ],
+    )
+    pred = _frame(spark, [("d1", "F-16", "aircraft", None)])
+    docs = spark.createDataFrame([("d1",), ("d2",), ("d3",)], ["doc_key"])
+    acc = judge.sample_accuracy(pred, gold, docs).first()
+    # d1 fully correct; d2 missed; d3 empty-empty correct
+    assert acc["correct_samples"] == 2 and acc["total_samples"] == 3
+
+    rep = judge.max_area_gold(gold).where("doc_key='d2'").first()
+    assert rep["bnd"]["xmax"] == 50
