@@ -20,9 +20,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _with_event_time(events: DataFrame) -> DataFrame:
+    # parquet written elsewhere may carry TIMESTAMP_NTZ; watermarks require
+    # TIMESTAMP (session TZ is pinned UTC, so the cast is value-preserving)
+    return events.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def windowed_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
+    events = _with_event_time(events)
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(
@@ -44,6 +51,7 @@ def windowed_counts(
 def sessionize(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
+    events = _with_event_time(events)
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(
