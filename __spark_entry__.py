@@ -1,38 +1,729 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline on sf0.001.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus the
+training-data-curation family) over the driver testdata; ``oracle_sql()``
+carries the DuckDB-equivalent SQL for each (omitted only for genuinely
+non-SQL-expressible ops — LSH/minhash/xxhash64-based blocking and iterative
+connected components — which the driver records as rows-only checks).
+
+Column-naming contract: every computed column is aliased identically in the
+Spark plan and the SQL text; doubles that are *computed* (sums, ratios) are
+rounded on both sides so the order-insensitive value hash matches; stored
+doubles pass through raw.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from military_entity_extraction_based_on_large_models_spark.functions import (
+    text as T,
+)
+from military_entity_extraction_based_on_large_models_spark.functions import (
+    vectors as V,
+)
+from military_entity_extraction_based_on_large_models_spark.operators import (
+    dedup,
+    linking,
+    similarity,
+)
+from military_entity_extraction_based_on_large_models_spark.operators.canonicalize import (
+    canonical_clusters,
+)
+from military_entity_extraction_based_on_large_models_spark.plans.pipeline import (
+    kg_mentions,
+    kg_pipeline,
+)
+from military_entity_extraction_based_on_large_models_spark.sources.documents import (
+    read_driver_documents,
+)
+from military_entity_extraction_based_on_large_models_spark.sources.gazetteer import (
+    VOCAB_GAZETTEER,
+    gazetteer_values_sql,
+)
+
+GAZ_SQL = gazetteer_values_sql(VOCAB_GAZETTEER)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG construction (extract → link → dedup → triples) over
+    the sf0.001 documents corpus with the vocab gazetteer."""
+    docs = read_driver_documents(spark, "/root/testdata/sf0.001")
+    return kg_pipeline(docs, VOCAB_GAZETTEER, context_terms={})
+
+
+# --------------------------------------------------------------------------
+# query helpers (each callable: (spark, sf_dir) -> DataFrame)
+# --------------------------------------------------------------------------
+
+def _kg_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_driver_documents(spark, sf_dir)
+    return kg_pipeline(docs, VOCAB_GAZETTEER, context_terms={})
+
+
+def q_kg_mentions(spark, sf_dir):
+    docs = read_driver_documents(spark, sf_dir)
+    m = kg_mentions(docs, VOCAB_GAZETTEER)
+    return m.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        F.col("name"),
+        F.col("label"),
+    ).distinct()
+
+
+def q_kg_instance_of(spark, sf_dir):
+    t = _kg_base(spark, sf_dir)
+    return (
+        t.where(F.col("pred") == "instance_of")
+        .select(
+            F.col("subj"),
+            F.col("obj").alias("label"),
+            F.col("path").cast("bigint").alias("doc_id"),
+        )
+        .distinct()
+    )
+
+
+def q_kg_cooccur(spark, sf_dir):
+    t = _kg_base(spark, sf_dir)
+    return (
+        t.where(F.col("pred") == "co_occurs_with")
+        .select(
+            "subj", F.col("obj"), F.col("path").cast("bigint").alias("doc_id")
+        )
+        .distinct()
+    )
+
+
+def q_kg_located_in(spark, sf_dir):
+    t = _kg_base(spark, sf_dir)
+    return (
+        t.where(F.col("pred") == "located_in")
+        .select("subj", F.col("obj"), F.col("path").cast("bigint").alias("doc_id"))
+        .distinct()
+    )
+
+
+def q_kg_doc_sha(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.sha2(F.col("text"), 256).alias("doc_sha"))
+
+
+def q_kg_canonical_components(spark, sf_dir):
+    # iterative connected components — non-SQL-expressible (rows-only check)
+    docs = read_driver_documents(spark, sf_dir)
+    linked = kg_mentions(docs, VOCAB_GAZETTEER)
+    comp = canonical_clusters(linked)
+    return comp.orderBy("node")
+
+
+def q_kg_fuzzy_blocks(spark, sf_dir):
+    # MinHash/LSH blocking over mention surface forms (rows-only check)
+    docs = read_driver_documents(spark, sf_dir)
+    m = kg_mentions(docs, VOCAB_GAZETTEER)
+    return linking.fuzzy_block_candidates(m).orderBy("name_a", "name_b")
+
+
+# ---- relational coverage (SURVEY.md §2.2-2.5 operator mappings) ----------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q_semi_join_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return orders.join(
+        li.where(F.col("l_quantity") > 49).select("l_orderkey"),
+        orders.o_orderkey == F.col("l_orderkey"),
+        "left_semi",
+    ).select("o_orderkey", "o_totalprice")
+
+
+def q_anti_join_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select("o_custkey"),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+def q_outer_join_order_counts(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+def q_window_top_customer_per_nation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+def q_max_by_supplier(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    return sup.groupBy("s_nationkey").agg(
+        F.max_by("s_name", "s_acctbal").alias("top_supplier"),
+        F.round(F.max("s_acctbal"), 2).alias("max_acctbal"),
+    )
+
+
+def q_setops_counts(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    spark_row = [
+        (
+            a.union(b).distinct().count(),
+            a.intersect(b).count(),
+            a.subtract(b).count(),
+        )
+    ]
+    return spark.createDataFrame(
+        spark_row, ["union_n", "intersect_n", "except_n"]
+    )
+
+
+def q_rollup_order_counts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_iou_part_boxes(spark, sf_dir):
+    """A7/P11: IoU as pure column arithmetic over boxes derived from part."""
+    from military_entity_extraction_based_on_large_models_spark.functions.geometry import (
+        box,
+        iou,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    p = F.col("p_partkey")
+    s = F.col("p_size") % 15 + 1
+    gold = box(p % 20, F.expr("p_partkey DIV 20") % 20, p % 20 + s, F.expr("p_partkey DIV 20") % 20 + s)
+    pred = box(p % 20 + p % 4, F.expr("p_partkey DIV 20") % 20, p % 20 + s + p % 4, F.expr("p_partkey DIV 20") % 20 + s)
+    out = part.select(
+        "p_partkey",
+        F.round(iou(gold, pred), 6).alias("iou"),
+        (iou(gold, pred) > 0.5).cast("int").alias("matched"),
+    )
+    return out
+
+
+def q_events_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date("ts").alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_events_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k")
+    )
+
+
+def q_events_user_sessions(spark, sf_dir):
+    from military_entity_extraction_based_on_large_models_spark.streaming.events import (
+        sessionize,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, gap="30 minutes")
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+# ---- training-data curation family ----------------------------------------
+
+def q_doc_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_doc_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_doc_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+_DUP_ROWS = [
+    (900001, "Duplicate   Curation Text"),
+    (900002, "  duplicate curation TEXT "),
+    (900003, "a unique curation row"),
+]
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(_DUP_ROWS, ["doc_id", "text"])
+    both = d.unionByName(extra)
+    groups = dedup.exact_dup_groups(both, text_col="text", id_col="doc_id")
+    return groups.select(
+        "fingerprint",
+        "dup_count",
+        # sort as strings: the oracle's list_sort runs on VARCHAR
+        F.array_join(
+            F.sort_array(F.transform("doc_ids", lambda x: x.cast("string"))), ","
+        ).alias("dup_ids"),
+    )
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    # xxhash64-based — not DuckDB-expressible (rows-only check)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, text_col="text", id_col="doc_id", n_hashes=16, n_bands=8
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    # xxhash64-based — rows-only check
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d, text_col="text", id_col="doc_id").orderBy("id")
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    # hyperplane sketch uses xxhash64 — rows-only check
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries, k=10, n_planes=6).select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    # LSH-blocked — rows-only check (exact SQL pair join would not reproduce
+    # the approximate blocking)
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.95).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_embedding_cosine_pairs_exact(spark, sf_dir):
+    """Exact cosine pairs over a bounded id range — the oracle-checkable
+    counterpart of the LSH near-dup path."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", V.cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= 0.8)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_mentions": q_kg_mentions,
+        "kg_instance_of": q_kg_instance_of,
+        "kg_cooccur": q_kg_cooccur,
+        "kg_located_in": q_kg_located_in,
+        "kg_doc_sha": q_kg_doc_sha,
+        "kg_canonical_components": q_kg_canonical_components,
+        "kg_fuzzy_blocks": q_kg_fuzzy_blocks,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "semi_join_orders": q_semi_join_orders,
+        "anti_join_customers": q_anti_join_customers,
+        "outer_join_order_counts": q_outer_join_order_counts,
+        "window_top_customer_per_nation": q_window_top_customer_per_nation,
+        "max_by_supplier": q_max_by_supplier,
+        "setops_counts": q_setops_counts,
+        "rollup_order_counts": q_rollup_order_counts,
+        "iou_part_boxes": q_iou_part_boxes,
+        "events_daily": q_events_daily,
+        "events_json": q_events_json,
+        "events_user_sessions": q_events_user_sessions,
+        "doc_token_count": q_doc_token_count,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_langid": q_doc_langid,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_cosine_pairs_exact": q_embedding_cosine_pairs_exact,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_WS_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_WORD_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_STOPS = "('the','a','an','and','or','of','to','in','is','it','on','for')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_mentions": f"""
+            SELECT DISTINCT d.doc_id, g.alias AS name, g.label
+            FROM documents d JOIN {GAZ_SQL}
+              ON position(g.alias IN d.text) > 0
+        """,
+        "kg_instance_of": f"""
+            SELECT DISTINCT g.canonical AS subj, g.label, d.doc_id
+            FROM documents d JOIN {GAZ_SQL}
+              ON position(g.alias IN d.text) > 0
+        """,
+        "kg_cooccur": f"""
+            WITH m AS (
+              SELECT DISTINCT d.doc_id, g.canonical
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+              WHERE g.label <> 'location'
+            )
+            SELECT a.canonical AS subj, b.canonical AS obj, a.doc_id
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+        """,
+        "kg_located_in": f"""
+            WITH m AS (
+              SELECT DISTINCT d.doc_id, g.canonical, g.label
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+            )
+            SELECT a.canonical AS subj, b.canonical AS obj, a.doc_id
+            FROM m a JOIN m b ON a.doc_id = b.doc_id
+            WHERE a.label <> 'location' AND b.label = 'location'
+        """,
+        "kg_doc_sha": "SELECT doc_id, sha256(text) AS doc_sha FROM documents",
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 2) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            SELECT l_orderkey,
+                   CAST(o_orderdate AS DATE) AS o_orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "semi_join_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "outer_join_order_counts": """
+            SELECT c_custkey,
+                   count(o_orderkey) AS n_orders,
+                   round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "window_top_customer_per_nation": """
+            SELECT c_nationkey, c_custkey, c_acctbal FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+                     row_number() OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+              FROM customer) WHERE rn = 1
+        """,
+        "max_by_supplier": """
+            SELECT s_nationkey,
+                   arg_max(s_name, s_acctbal) AS top_supplier,
+                   round(max(s_acctbal), 2) AS max_acctbal
+            FROM supplier GROUP BY s_nationkey
+        """,
+        "setops_counts": """
+            SELECT
+              (SELECT count(*) FROM (
+                 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                 UNION
+                 SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS union_n,
+              (SELECT count(*) FROM (
+                 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                 INTERSECT
+                 SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS intersect_n,
+              (SELECT count(*) FROM (
+                 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                 EXCEPT
+                 SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS except_n
+        """,
+        "rollup_order_counts": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "iou_part_boxes": """
+            WITH b AS (
+              SELECT p_partkey,
+                     p_partkey % 20 AS gx1, (p_partkey // 20) % 20 AS gy1,
+                     p_size % 15 + 1 AS s, p_partkey % 4 AS dx
+              FROM part
+            ), c AS (
+              SELECT p_partkey,
+                     gx1, gy1, gx1 + s AS gx2, gy1 + s AS gy2,
+                     gx1 + dx AS px1, gy1 AS py1, gx1 + s + dx AS px2, gy1 + s AS py2
+              FROM b
+            ), i AS (
+              SELECT p_partkey,
+                     greatest(least(gx2, px2) - greatest(gx1, px1), 0)
+                     * greatest(least(gy2, py2) - greatest(gy1, py1), 0) AS inter,
+                     greatest(gx2-gx1,0)*greatest(gy2-gy1,0)
+                     + greatest(px2-px1,0)*greatest(py2-py1,0) AS both_area
+              FROM c
+            )
+            SELECT p_partkey,
+                   round(CASE WHEN both_area - inter > 0
+                              THEN CAST(inter AS DOUBLE) / (both_area - inter)
+                              ELSE 0.0 END, 6) AS iou,
+                   CAST(CASE WHEN both_area - inter > 0
+                             AND CAST(inter AS DOUBLE) / (both_area - inter) > 0.5
+                        THEN 1 ELSE 0 END AS INT) AS matched
+            FROM i
+        """,
+        "events_daily": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY CAST(ts AS DATE), event_type
+        """,
+        "events_json": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "events_user_sessions": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ), s AS (
+              SELECT user_id,
+                     CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM e
+            )
+            SELECT user_id,
+                   CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "doc_token_count": f"""
+            SELECT doc_id, CAST(len({_WS_TOKS}) AS INT) AS n_tokens FROM documents
+        """,
+        "doc_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CAST(len(text) AS DOUBLE) AS n_chars,
+                     CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+                     CAST(len({_WORD_TOKS}) AS DOUBLE) AS n_words,
+                     CAST(len(list_filter({_WORD_TOKS}, x -> x IN {_STOPS})) AS DOUBLE) AS n_stops,
+                     CAST(len({_WS_TOKS}) AS DOUBLE) AS n_ws,
+                     CAST(list_sum(list_transform({_WS_TOKS}, x -> len(x))) AS DOUBLE) AS ws_len
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS pr,
+                     CASE WHEN n_words > 0 THEN n_stops / n_words ELSE 0.0 END AS sr,
+                     CASE WHEN n_ws > 0 THEN ws_len / n_ws ELSE 0.0 END AS mtl,
+                     n_chars
+              FROM t
+            )
+            SELECT doc_id,
+                   round(pr, 6) AS punct_ratio,
+                   round(sr, 6) AS stopword_ratio,
+                   round((
+                     (CASE WHEN n_chars >= 20 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END)
+                     + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+                     + (CASE WHEN sr <= 0.6 THEN 1.0 ELSE 0.0 END)
+                     + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END)
+                   ) / 4.0, 6) AS quality
+            FROM r
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "doc_langid": f"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(list_filter({_WORD_TOKS}, x -> x IN ('the','and','of','is'))) AS en_n,
+                     len(list_filter({_WORD_TOKS}, x -> x IN ('der','die','und','ist'))) AS de_n,
+                     len(list_filter({_WORD_TOKS}, x -> x IN ('le','la','et','est'))) AS fr_n
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN fr_n >= en_n AND fr_n >= de_n AND fr_n > 0 THEN 'fr'
+                        WHEN en_n >= de_n AND en_n > 0 THEN 'en'
+                        WHEN de_n > 0 THEN 'de'
+                        ELSE 'und' END AS lang_pred
+            FROM c
+        """,
+        "dedup_exact_groups": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES
+                (900001, 'Duplicate   Curation Text'),
+                (900002, '  duplicate curation TEXT '),
+                (900003, 'a unique curation row')) v(doc_id, text)
+            ), f AS (
+              SELECT doc_id,
+                     md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+              FROM d
+            )
+            SELECT fingerprint,
+                   count(*) AS dup_count,
+                   array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS dup_ids
+            FROM f GROUP BY fingerprint HAVING count(*) > 1
+        """,
+        "ann_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id,
+                              list_cosine_similarity(cv, qv) AS cos
+                       FROM c CROSS JOIN q),
+                 r AS (SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                       FROM s)
+            SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= 10
+        """,
+        "embedding_cosine_pairs_exact": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 200)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+        """,
+    }
