@@ -371,10 +371,13 @@ def q_dedup_exact_groups(spark, sf_dir):
 
 
 def q_dedup_minhash_pairs(spark, sf_dir):
-    # xxhash64-based — not DuckDB-expressible (rows-only check)
+    # xxhash64-based — not DuckDB-expressible (rows-only check).
+    # 8-row bands → S-curve threshold ≈ 0.84: the driver corpus is a word
+    # salad over a 30-word vocabulary, so random-pair Jaccard is high and
+    # narrow bands would explode the candidate join quadratically.
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        d, text_col="text", id_col="doc_id", n_hashes=16, n_bands=8
+        d, text_col="text", id_col="doc_id", n_hashes=32, n_bands=4
     ).orderBy("id_a", "id_b")
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..functions import vectors as V
+from ..plans.parallelism import scale_out
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "content", id_col: str = "doc_sha") -> DataFrame:
@@ -62,13 +63,74 @@ def _seeded_hash(seed: int):
     return lambda s: F.xxhash64(s, F.lit(seed))
 
 
-def _minhash_signature(df: DataFrame, shingle_col: str, n_hashes: int) -> DataFrame:
-    for h in range(n_hashes):
-        df = df.withColumn(
-            f"_mh{h}",
-            F.array_min(F.transform(F.col(shingle_col), _seeded_hash(h))),
+_MAX_LONG = (1 << 63) - 1
+
+
+def minhash_band_buckets(shingles_col, n_hashes: int, n_bands: int):
+    """Column expression: shingle array → array of n_bands LSH bucket ids.
+
+    Built as ONE ``aggregate(..., finish=...)`` expression on purpose.
+    Spark's higher-order functions don't participate in whole-stage codegen,
+    so CollapseProject + per-column signatures would re-evaluate the shingle
+    transform once per minhash column (32×).  Inside a single expression the
+    array input and the ``finish`` lambda variable are bound VALUES — the
+    shingle hash pass and the min-signature each evaluate exactly once per
+    row.
+    """
+    rows_per_band = n_hashes // n_bands
+
+    def merge(acc, x):
+        return F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda m, i: F.least(m, F.xxhash64(x, i)),
         )
-    return df
+
+    def finish(mins):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.aggregate(
+                F.slice(mins, b * F.lit(rows_per_band) + F.lit(1), F.lit(rows_per_band)),
+                F.lit(0).cast("long"),
+                lambda a, v: F.xxhash64(a, v),
+            ),
+        )
+
+    hv = F.transform(shingles_col, lambda s: F.xxhash64(s))
+    return F.aggregate(
+        hv,
+        F.array_repeat(F.lit(_MAX_LONG), n_hashes),
+        merge,
+        finish,
+    )
+
+
+def pairs_from_buckets(banded: DataFrame) -> DataFrame:
+    """(id, band, bucket) → distinct candidate pairs (id_a < id_b).
+
+    One groupBy shuffle; pair fan-out is generated columnar from the sorted
+    id set per bucket (flatten of a triangular transform), so the expensive
+    upstream (signatures/sketches) is computed exactly once — a self-join
+    would re-evaluate it per side and add a second shuffle."""
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
 
 
 def minhash_lsh_pairs(
@@ -82,30 +144,18 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash-LSH.
 
     Defaults (32 hashes, 8 bands of 4) put the S-curve threshold at
-    J ≈ (1/8)^(1/4) ≈ 0.59 — standard near-dup territory."""
-    rows_per_band = n_hashes // n_bands
-    base = docs.select(
-        F.col(id_col).alias("id"), T.shingles(F.col(text_col), shingle_n).alias("_sh")
-    ).where(F.size("_sh") > 0)
-    sig = _minhash_signature(base, "_sh", n_hashes)
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"_mh{h}") for h in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        bands.append(sig.select("id", F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")))
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
-    a, b_ = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    J ≈ (1/8)^(1/4) ≈ 0.59 — standard near-dup territory.
+
+    Plan shape: signature computed ONCE per row; bands emitted with one
+    posexplode (no per-band re-projection); pairs via pairs_from_buckets
+    (single shuffle)."""
+    # repartition the NARROW projection first; shingling (the expensive
+    # expression) must run after the exchange or it executes single-threaded
+    # at shuffle write when the scan has few splits
+    narrow = scale_out(docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+    bands = minhash_band_buckets(T.shingles(F.col("_t"), shingle_n), n_hashes, n_bands)
+    banded = narrow.select("id", F.posexplode(bands).alias("band", "bucket"))
+    return pairs_from_buckets(banded)
 
 
 def ngram_jaccard_pairs(
@@ -147,22 +197,39 @@ def simhash(docs: DataFrame, text_col: str = "content", id_col: str = "doc_sha",
     For each bit position, sum ±1 over token-hash bits; sign → output bit.
     Expressed with higher-order functions over the token array (JVM-side).
     """
-    toks = docs.select(F.col(id_col).alias("id"), T.word_tokens(F.col(text_col)).alias("t"))
-    hashed = toks.withColumn("h", F.transform("t", lambda t: F.xxhash64(t)))
-    def _vote(bit: int):
-        # factory closure: F.aggregate requires the merge lambda to take
-        # exactly (acc, x) — no extra default params
-        return lambda acc, hv: acc + F.when(
-            F.shiftright(hv, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+    narrow = scale_out(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    )
 
-    sim = F.lit(0).cast("long")
-    for bit in range(bits):
-        votes = F.aggregate("h", F.lit(0), _vote(bit))
-        sim = sim + F.when(
-            votes > 0, F.shiftleft(F.lit(1).cast("long"), bit)
-        ).otherwise(F.lit(0).cast("long"))
-    return hashed.select("id", sim.alias("simhash"))
+    # single-pass: one aggregate carries a 64-wide vote vector (element b =
+    # ± count of bit b over token hashes); the finish lambda folds signs to
+    # the long.  One expression → tokens/hashes evaluated once per row (see
+    # minhash_band_buckets for why per-bit columns would re-evaluate them).
+    def merge(acc, hv):
+        # bit positions are Python ints (shift amounts must be literals)
+        contribs = F.array(
+            *[
+                F.when(
+                    F.shiftright(hv, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for b in range(bits)
+            ]
+        )
+        return F.zip_with(acc, contribs, lambda v, c: v + c)
+
+    def finish(votes):
+        # two's-complement assembly: bit 63 contributes -2^63
+        total = F.lit(0).cast("long")
+        for b in range(bits):
+            weight = -(1 << 63) if b == 63 else (1 << b)
+            total = total + F.when(
+                votes[b] > 0, F.lit(weight).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return total
+
+    hv = F.transform(T.word_tokens(F.col("_t")), lambda t: F.xxhash64(t))
+    sim = F.aggregate(hv, F.array_repeat(F.lit(0), bits), merge, finish)
+    return narrow.select("id", sim.alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -172,31 +239,16 @@ def simhash_neardup_pairs(
     distance blocking, Manku-Jain-Sarma style)."""
     sh = simhash(docs, text_col, id_col)
     width = 64 // n_bands
-    bands = []
-    for b in range(n_bands):
-        bands.append(
-            sh.select(
-                "id",
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned("simhash", b * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("bucket"),
+    band_buckets = F.array(
+        *[
+            F.shiftrightunsigned("simhash", b * width).bitwiseAND(
+                F.lit((1 << width) - 1)
             )
-        )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
-    a, b_ = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+            for b in range(n_bands)
+        ]
     )
+    banded = sh.select("id", F.posexplode(band_buckets).alias("band", "bucket"))
+    return pairs_from_buckets(banded)
 
 
 def embedding_neardup_pairs(
@@ -210,22 +262,24 @@ def embedding_neardup_pairs(
     blocking: sign-bit sketch over n_planes pseudo-random hyperplanes (seeded
     by xxhash64 of the dimension index — deterministic, no stored planes);
     only same-sketch pairs are compared exactly."""
-    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = scale_out(emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
     # pseudo-random hyperplane: component j of plane k = hash(j,k) mapped to
     # ±1; same deterministic sketch as similarity._sketch
     from .similarity import _sketch
 
-    sk = base.withColumn("sketch", _sketch(F.col("v"), n_planes))
-    a, b_ = sk.alias("a"), sk.alias("b")
-    cand = a.join(
-        b_,
-        (F.col("a.sketch") == F.col("b.sketch")) & (F.col("a.id") < F.col("b.id")),
+    sk = base.select(
+        "id", F.lit(0).alias("band"), _sketch(F.col("v"), n_planes).alias("bucket")
     )
-    cos = V.cosine(F.col("a.v"), F.col("b.v"))
+    # candidate ids first (sketch computed once), vectors joined back only
+    # for the surviving candidate pairs — the exact-rescore fetch stays
+    # proportional to candidates, not corpus²
+    cand = pairs_from_buckets(sk)
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        cand.withColumn("cosine", cos)
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", V.cosine(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine"
-        )
+        .select("id_a", "id_b", "cosine")
     )

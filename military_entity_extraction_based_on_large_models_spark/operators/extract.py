@@ -204,7 +204,9 @@ def extract_mentions(
                     out["error"].append(f"{type(exc).__name__}: {exc}")
             yield pd.DataFrame(out)
 
-    needed = docs.select("doc_sha", "repo", "path", "commit", "content")
+    from ..plans.parallelism import scale_out
+
+    needed = scale_out(docs.select("doc_sha", "repo", "path", "commit", "content"))
     return needed.mapInPandas(run, schema=MENTION_SCHEMA)
 
 

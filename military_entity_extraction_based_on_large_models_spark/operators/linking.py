@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 def link_mentions(
     mentions: DataFrame,
     context_terms: Mapping[str, Sequence[str]] | None = None,
+    ambiguous_names: Sequence[str] | None = None,
 ) -> DataFrame:
     """Resolve each (doc, span, name) to exactly one canonical entity.
 
@@ -37,7 +38,19 @@ def link_mentions(
     rows per span when the alias is ambiguous).  Output: one row per
     (doc_sha, begin, name) with ``canonical``/``label`` chosen by context
     score desc, then canonical asc.
+
+    ``ambiguous_names`` (derivable from the gazetteer: aliases with >1
+    candidate) routes ONLY ambiguous mentions through the ranking window —
+    unambiguous rows (the vast majority) pass through shuffle-free.  Pass an
+    empty sequence to skip the window entirely.
     """
+    if ambiguous_names is not None:
+        amb = list(ambiguous_names)
+        if not amb:
+            return mentions
+        hot = mentions.where(F.col("name").isin(amb))
+        cold = mentions.where(~F.col("name").isin(amb))
+        return cold.unionByName(link_mentions(hot, context_terms, None))
     spark = mentions.sparkSession
     terms = [(k, list(v)) for k, v in (context_terms or {}).items()]
     if terms:
@@ -59,7 +72,10 @@ def link_mentions(
     else:
         scored = mentions.withColumn("link_score", F.lit(0))
 
-    w = Window.partitionBy("doc_sha", "begin", "name").orderBy(
+    # partition by full document identity, not doc_sha alone: distinct docs
+    # with identical content share a sha, and collapsing them here would drop
+    # mentions from all but one of the duplicates
+    w = Window.partitionBy("repo", "path", "commit", "begin", "name").orderBy(
         F.col("link_score").desc(), F.col("canonical").asc()
     )
     return (
@@ -85,51 +101,23 @@ def fuzzy_block_candidates(
 
     Returns (name_a, name_b) candidate pairs with name_a < name_b.
     """
-    rows_per_band = n_hashes // n_bands
+    from .dedup import minhash_band_buckets, pairs_from_buckets
+
     distinct = names.select(F.col(name_col).alias("name")).distinct()
     lowered = distinct.withColumn("_n", F.lower("name"))
-    shingled = lowered.withColumn(
-        "shingles",
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(F.length("_n") - shingle_len, F.lit(0)),
-                ),
-                lambda i: F.col("_n").substr(i + F.lit(1), F.lit(shingle_len)),
-            )
-        ),
+    char_shingles = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.length("_n") - shingle_len, F.lit(0)),
+            ),
+            lambda i: F.col("_n").substr(i + F.lit(1), F.lit(shingle_len)),
+        )
     )
-    from .dedup import _seeded_hash
-
-    sig = shingled
-    for h in range(n_hashes):
-        sig = sig.withColumn(
-            f"mh_{h}",
-            F.array_min(F.transform("shingles", _seeded_hash(h))),
-        )
-    band_rows = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh_{h}") for h in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_rows.append(
-            sig.select(
-                "name",
-                F.lit(b).alias("band"),
-                F.xxhash64(*cols).alias("bucket"),
-            )
-        )
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.name") < F.col("b.name")),
-        )
-        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
-        .distinct()
+    bands = minhash_band_buckets(char_shingles, n_hashes, n_bands)
+    banded = lowered.select(
+        F.col("name").alias("id"), F.posexplode(bands).alias("band", "bucket")
+    )
+    return pairs_from_buckets(banded).select(
+        F.col("id_a").alias("name_a"), F.col("id_b").alias("name_b")
     )

@@ -109,7 +109,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                     out["error"].append(f"{type(exc).__name__}: {exc}")
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
+    from ..plans.parallelism import scale_out
+
+    return scale_out(media.select("media_id", "kind", "payload")).mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from ..plans.parallelism import scale_out
 
 
 def _plane_term(k: int):
@@ -61,7 +62,9 @@ def brute_force_topk(
     making the "cross" join a map-side nested loop with no corpus shuffle;
     the only shuffle is the final per-query top-k.
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = scale_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    )
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     scored = c.crossJoin(F.broadcast(q)).withColumn(
         "cosine", V.cosine(F.col("cv"), F.col("qv"))
@@ -93,8 +96,8 @@ def lsh_topk(
     equi on the bucket id.  Query sketches are exploded into probe buckets
     (1 + n_planes·probe_hamming rows each) and broadcast.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    c = scale_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     ).withColumn("bucket", _sketch(F.col("cv"), n_planes))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")

@@ -23,6 +23,15 @@ from ..sources.gazetteer import CONTEXT_TERMS, MILITARY_GAZETTEER
 from . import lineage
 
 
+def _ambiguous_names(gazetteer: Sequence[tuple[str, str, str]]) -> list[str]:
+    """Aliases mapping to more than one canonical — only these need the
+    disambiguation window in the link stage."""
+    seen: dict[str, set[str]] = {}
+    for alias, canonical, _label in gazetteer:
+        seen.setdefault(alias, set()).add(canonical)
+    return [a for a, cs in seen.items() if len(cs) > 1]
+
+
 def kg_pipeline(
     docs: DataFrame,
     gazetteer: Sequence[tuple[str, str, str]] = MILITARY_GAZETTEER,
@@ -34,7 +43,9 @@ def kg_pipeline(
 
         docs = with_doc_sha(docs)
     mentions = extract_mentions(docs, gazetteer)
-    linked = link_mentions(mentions, context_terms or CONTEXT_TERMS)
+    linked = link_mentions(
+        mentions, context_terms or CONTEXT_TERMS, _ambiguous_names(gazetteer)
+    )
     deduped = dedup_mentions(linked)
     return materialize_triples(deduped)
 
@@ -66,7 +77,9 @@ def kg_pipeline_with_canonicalization(
 
         docs = with_doc_sha(docs)
     mentions = extract_mentions(docs, gazetteer)
-    linked = link_mentions(mentions, context_terms or CONTEXT_TERMS)
+    linked = link_mentions(
+        mentions, context_terms or CONTEXT_TERMS, _ambiguous_names(gazetteer)
+    )
     deduped = dedup_mentions(linked)
     clusters = canonical_clusters(deduped)
     triples = materialize_triples(deduped)
