@@ -49,6 +49,29 @@ def test_automaton_ambiguous_alias_fans_out():
     }
 
 
+def test_find_scan_and_aho_corasick_agree():
+    from military_entity_extraction_based_on_large_models_spark.sources.gazetteer import (
+        MILITARY_GAZETTEER,
+    )
+
+    texts = [
+        "a Tornado GR4 and a Tornado and G36k G36k Tiger",
+        "Eurofighter Typhoon over the Baltic Sea near Ramstein Air Base",
+        "",
+        "aaa",  # overlap stress (no match, but exercises scanning)
+    ]
+    fast = _Automaton(MILITARY_GAZETTEER)
+    slow = _Automaton(MILITARY_GAZETTEER)
+    slow.use_find = False
+    from military_entity_extraction_based_on_large_models_spark.operators.extract import (
+        AhoCorasick,
+    )
+
+    slow.ac = AhoCorasick(slow.patterns)
+    for t in texts:
+        assert sorted(fast.match(t)) == sorted(slow.match(t)), t
+
+
 def test_extract_matches_oracle(spark, corpus, docs_df):
     mentions = extract_mentions(docs_df, MILITARY_GAZETTEER)
     got = {
