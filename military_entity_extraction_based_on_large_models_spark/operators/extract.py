@@ -162,7 +162,6 @@ MENTION_STRUCT = StructType(
         StructField("label", StringType()),
         StructField("canonical", StringType()),
         StructField("begin", IntegerType()),
-        StructField("end", IntegerType()),
         StructField("context", StringType()),
     ]
 )
@@ -185,6 +184,7 @@ def extract_mentions(
     docs: DataFrame,
     gazetteer_entries: Sequence[tuple[str, str, str]],
     context_window: int = CONTEXT_WINDOW,
+    emit_context: bool = True,
 ) -> DataFrame:
     """documents → mention rows (doc_sha, repo, path, commit, name, label,
     canonical, begin, end, context, error).
@@ -199,6 +199,11 @@ def extract_mentions(
     mention through pandas→Arrow) — ~2× less Python work per document.
     Zero-mention documents vanish in the explode; error rows (I5 row-level
     containment) survive via explode_outer + the error-or-mention filter.
+
+    ``end`` is derived JVM-side (begin + length(name)); ``emit_context=False``
+    skips the context snippet entirely (linking needs it only when the
+    gazetteer has ambiguous aliases) — fewer bytes through Arrow and the
+    downstream dedup shuffle.
     """
     entries = [tuple(e) for e in gazetteer_entries]
     key = _gazetteer_fingerprint(entries)
@@ -213,19 +218,26 @@ def extract_mentions(
             for content in pdf["content"]:
                 try:
                     text = content or ""
-                    mention_lists.append(
-                        [
-                            (
-                                alias,
-                                label,
-                                canonical,
-                                begin,
-                                end,
-                                text[max(0, begin - context_window) : end + context_window],
-                            )
-                            for begin, end, alias, canonical, label in auto.match(text)
-                        ]
-                    )
+                    if emit_context:
+                        mention_lists.append(
+                            [
+                                (
+                                    alias,
+                                    label,
+                                    canonical,
+                                    begin,
+                                    text[max(0, begin - context_window) : end + context_window],
+                                )
+                                for begin, end, alias, canonical, label in auto.match(text)
+                            ]
+                        )
+                    else:
+                        mention_lists.append(
+                            [
+                                (alias, label, canonical, begin, None)
+                                for begin, _end, alias, canonical, label in auto.match(text)
+                            ]
+                        )
                     errors.append(None)
                 except Exception as exc:  # I5: row-level containment
                     mention_lists.append(None)
@@ -262,7 +274,7 @@ def extract_mentions(
         F.col("m.label").alias("label"),
         F.col("m.canonical").alias("canonical"),
         F.col("m.begin").alias("begin"),
-        F.col("m.end").alias("end"),
+        (F.col("m.begin") + F.length("m.name")).alias("end"),
         F.col("m.context").alias("context"),
         "error",
     )
@@ -301,8 +313,8 @@ def dedup_mentions(mentions: DataFrame) -> DataFrame:
             F.first("path").alias("path"),
             F.first("commit").alias("commit"),
             F.min("begin").alias("begin"),
-            F.min_by("end", "begin").alias("end"),
             F.min_by("canonical", "begin").alias("canonical"),
             F.min_by("context", "begin").alias("context"),
         )
+        .withColumn("end", F.col("begin") + F.length("name"))
     )

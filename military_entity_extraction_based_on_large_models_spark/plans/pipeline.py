@@ -42,10 +42,9 @@ def kg_pipeline(
         from ..sources.documents import with_doc_sha
 
         docs = with_doc_sha(docs)
-    mentions = extract_mentions(docs, gazetteer)
-    linked = link_mentions(
-        mentions, context_terms or CONTEXT_TERMS, _ambiguous_names(gazetteer)
-    )
+    ambiguous = _ambiguous_names(gazetteer)
+    mentions = extract_mentions(docs, gazetteer, emit_context=bool(ambiguous))
+    linked = link_mentions(mentions, context_terms or CONTEXT_TERMS, ambiguous)
     deduped = dedup_mentions(linked)
     return materialize_triples(deduped)
 
@@ -76,10 +75,9 @@ def kg_pipeline_with_canonicalization(
         from ..sources.documents import with_doc_sha
 
         docs = with_doc_sha(docs)
-    mentions = extract_mentions(docs, gazetteer)
-    linked = link_mentions(
-        mentions, context_terms or CONTEXT_TERMS, _ambiguous_names(gazetteer)
-    )
+    ambiguous = _ambiguous_names(gazetteer)
+    mentions = extract_mentions(docs, gazetteer, emit_context=bool(ambiguous))
+    linked = link_mentions(mentions, context_terms or CONTEXT_TERMS, ambiguous)
     deduped = dedup_mentions(linked)
     clusters = canonical_clusters(deduped)
     triples = materialize_triples(deduped)
