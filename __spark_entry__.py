@@ -432,6 +432,134 @@ def q_embedding_cosine_pairs_exact(spark, sf_dir):
     )
 
 
+def _eval_frames(spark, sf_dir):
+    """Deterministic pred/gold eval frames (doc_key, name, label, bnd) derived
+    from the part table — exercises the reference judge semantics (J2/J3/A2/A3,
+    judge/judge_entity.py) with null-box, IoU, label-mismatch and missing-doc
+    cases."""
+    from military_entity_extraction_based_on_large_models_spark.functions.geometry import box
+
+    part = _t(spark, sf_dir, "part")
+    p = F.col("p_partkey")
+    size = F.col("p_size") % 15 + 1
+    gx1, gy1 = p % 20, F.expr("p_partkey DIV 20") % 20
+    base = part.select(
+        (p % 50).cast("bigint").alias("doc_key"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("label"),
+        p.alias("pk"),
+        F.when(p % 7 != 0, box(gx1, gy1, gx1 + size, gy1 + size)).alias("gold_bnd"),
+        F.when(p % 7 != 0, box(gx1 + p % 4, gy1, gx1 + size + p % 4, gy1 + size)).alias("pred_bnd"),
+    )
+    gold = base.where(F.col("pk") % 11 != 0).select(
+        "doc_key", "name", "label", F.col("gold_bnd").alias("bnd")
+    )
+    pred = base.select(
+        "doc_key",
+        "name",
+        F.when(F.col("pk") % 13 == 0, F.concat(F.col("label"), F.lit("_X"))).otherwise(F.col("label")).alias("label"),
+        F.col("pred_bnd").alias("bnd"),
+    )
+    return pred, gold
+
+
+def q_judge_micro_prf(spark, sf_dir):
+    from military_entity_extraction_based_on_large_models_spark.operators.judge import micro_prf
+
+    pred, gold = _eval_frames(spark, sf_dir)
+    out = micro_prf(pred, gold)
+    return out.select(
+        "tp", "pred_total", "gold_total",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def q_judge_per_label(spark, sf_dir):
+    from military_entity_extraction_based_on_large_models_spark.operators.judge import per_label_prf
+
+    pred, gold = _eval_frames(spark, sf_dir)
+    out = per_label_prf(pred, gold)
+    return out.select(
+        "label", "tp", "pred_total", "gold_total",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def q_split_train_eval(spark, sf_dir):
+    """T1 analogue: deterministic hash split (the reference's seeded 70/30,
+    数据集/data_split.py:15-31, reproduced as a pure key function so every
+    engine agrees on membership)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.select(
+        "doc_id",
+        F.when(bucket < F.lit("b"), F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+
+
+def q_sft_pairs(spark, sf_dir):
+    """T2/J5 analogue: SFT data prep — docs joined with their extracted
+    entities, bnd dropped, (name,label)-deduped, compact completion string
+    (SFT/sft.py:107-191)."""
+    docs = read_driver_documents(spark, sf_dir)
+    m = kg_mentions(docs, VOCAB_GAZETTEER)
+    pairs = (
+        m.groupBy(F.col("path").cast("bigint").alias("doc_id"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set(F.concat_ws("|", "name", "label"))), ";"
+            ).alias("completion"),
+            F.count(F.lit(1)).alias("n_entities"),
+        )
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.length("text").alias("instruction_len"))
+    return d.join(pairs, "doc_id", "inner")
+
+
+def q5_revenue_per_nation(spark, sf_dir):
+    """TPC-H Q5-style multi-join: Catalyst join-reordering + broadcast of the
+    small dims (region/nation/supplier)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Streaming-equivalent tumbling window (streaming.events.windowed_counts
+    batch parity) with the window start formatted for engine-neutral compare."""
+    from military_entity_extraction_based_on_large_models_spark.streaming.events import (
+        windowed_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_counts(ev, window="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("hour"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": q_kg_mentions,
@@ -465,6 +593,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
         "embedding_cosine_pairs_exact": q_embedding_cosine_pairs_exact,
+        "judge_micro_prf": q_judge_micro_prf,
+        "judge_per_label": q_judge_per_label,
+        "split_train_eval": q_split_train_eval,
+        "sft_pairs": q_sft_pairs,
+        "q5_revenue_per_nation": q5_revenue_per_nation,
+        "events_hourly": q_events_hourly,
     }
 
 
@@ -728,5 +862,170 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+        """,
+        "judge_micro_prf": """
+            WITH base AS (
+              SELECT p_partkey AS pk,
+                     CAST(p_partkey % 50 AS BIGINT) AS doc_key,
+                     p_name AS name, p_brand AS label,
+                     p_size % 15 + 1 AS s,
+                     p_partkey % 20 AS gx1, (p_partkey // 20) % 20 AS gy1,
+                     p_partkey % 4 AS dx,
+                     p_partkey % 7 = 0 AS nullbox
+              FROM part
+            ), pred AS (
+              SELECT doc_key, name,
+                     CASE WHEN pk % 13 = 0 THEN label || '_X' ELSE label END AS label,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 + dx END AS x1,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 + s + dx END AS x2,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
+              FROM base
+            ), gold AS (
+              SELECT doc_key, name, label,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 END AS x1,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 + s END AS x2,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
+              FROM base WHERE pk % 11 <> 0
+            ), pr AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
+                        ORDER BY coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rnk
+              FROM pred
+            ), gr AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
+                        ORDER BY coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rnk
+              FROM gold
+            ), m AS (
+              SELECT pr.label
+              FROM pr JOIN gr USING (doc_key, name, label)
+              WHERE pr.rnk = gr.rnk AND (
+                (pr.x1 IS NULL AND gr.x1 IS NULL)
+                OR (pr.x1 IS NOT NULL AND gr.x1 IS NOT NULL AND
+                    3.0 * (greatest(least(pr.x2, gr.x2) - greatest(pr.x1, gr.x1), 0)
+                           * greatest(least(pr.y2, gr.y2) - greatest(pr.y1, gr.y1), 0))
+                    > CAST(greatest(pr.x2 - pr.x1, 0) * greatest(pr.y2 - pr.y1, 0)
+                           + greatest(gr.x2 - gr.x1, 0) * greatest(gr.y2 - gr.y1, 0) AS DOUBLE))
+              )
+            ), counts AS (
+              SELECT (SELECT count(*) FROM m) AS tp,
+                     (SELECT count(*) FROM pred) AS pred_total,
+                     (SELECT count(*) FROM gold) AS gold_total
+            )
+            SELECT tp, pred_total, gold_total,
+                   round(CAST(tp AS DOUBLE) / pred_total, 6) AS precision,
+                   round(CAST(tp AS DOUBLE) / gold_total, 6) AS recall,
+                   round(2.0 * (CAST(tp AS DOUBLE) / pred_total) * (CAST(tp AS DOUBLE) / gold_total)
+                         / (CAST(tp AS DOUBLE) / pred_total + CAST(tp AS DOUBLE) / gold_total), 6) AS f1
+            FROM counts
+        """,
+        "judge_per_label": """
+            WITH base AS (
+              SELECT p_partkey AS pk,
+                     CAST(p_partkey % 50 AS BIGINT) AS doc_key,
+                     p_name AS name, p_brand AS label,
+                     p_size % 15 + 1 AS s,
+                     p_partkey % 20 AS gx1, (p_partkey // 20) % 20 AS gy1,
+                     p_partkey % 4 AS dx,
+                     p_partkey % 7 = 0 AS nullbox
+              FROM part
+            ), pred AS (
+              SELECT doc_key, name,
+                     CASE WHEN pk % 13 = 0 THEN label || '_X' ELSE label END AS label,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 + dx END AS x1,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 + s + dx END AS x2,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
+              FROM base
+            ), gold AS (
+              SELECT doc_key, name, label,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 END AS x1,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 + s END AS x2,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
+              FROM base WHERE pk % 11 <> 0
+            ), pr AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
+                        ORDER BY coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rnk
+              FROM pred
+            ), gr AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
+                        ORDER BY coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rnk
+              FROM gold
+            ), m AS (
+              SELECT pr.label
+              FROM pr JOIN gr USING (doc_key, name, label)
+              WHERE pr.rnk = gr.rnk AND (
+                (pr.x1 IS NULL AND gr.x1 IS NULL)
+                OR (pr.x1 IS NOT NULL AND gr.x1 IS NOT NULL AND
+                    3.0 * (greatest(least(pr.x2, gr.x2) - greatest(pr.x1, gr.x1), 0)
+                           * greatest(least(pr.y2, gr.y2) - greatest(pr.y1, gr.y1), 0))
+                    > CAST(greatest(pr.x2 - pr.x1, 0) * greatest(pr.y2 - pr.y1, 0)
+                           + greatest(gr.x2 - gr.x1, 0) * greatest(gr.y2 - gr.y1, 0) AS DOUBLE))
+              )
+            ), predc AS (
+              SELECT label, count(*) AS pred_total FROM pred GROUP BY label
+            ), goldc AS (
+              SELECT label, count(*) AS gold_total FROM gold GROUP BY label
+            ), tpc AS (
+              SELECT label, count(*) AS tp FROM m GROUP BY label
+            ), j AS (
+              SELECT coalesce(predc.label, goldc.label) AS label,
+                     coalesce(tpc.tp, 0) AS tp,
+                     coalesce(predc.pred_total, 0) AS pred_total,
+                     coalesce(goldc.gold_total, 0) AS gold_total
+              FROM predc FULL OUTER JOIN goldc ON predc.label = goldc.label
+              LEFT JOIN tpc ON coalesce(predc.label, goldc.label) = tpc.label
+            )
+            SELECT label, tp, pred_total, gold_total,
+                   round(CASE WHEN pred_total > 0 THEN CAST(tp AS DOUBLE)/pred_total ELSE 0.0 END, 6) AS precision,
+                   round(CASE WHEN gold_total > 0 THEN CAST(tp AS DOUBLE)/gold_total ELSE 0.0 END, 6) AS recall,
+                   round(CASE WHEN (CASE WHEN pred_total > 0 THEN CAST(tp AS DOUBLE)/pred_total ELSE 0.0 END)
+                                 + (CASE WHEN gold_total > 0 THEN CAST(tp AS DOUBLE)/gold_total ELSE 0.0 END) > 0
+                         THEN 2.0 * (CASE WHEN pred_total > 0 THEN CAST(tp AS DOUBLE)/pred_total ELSE 0.0 END)
+                                  * (CASE WHEN gold_total > 0 THEN CAST(tp AS DOUBLE)/gold_total ELSE 0.0 END)
+                              / ((CASE WHEN pred_total > 0 THEN CAST(tp AS DOUBLE)/pred_total ELSE 0.0 END)
+                                 + (CASE WHEN gold_total > 0 THEN CAST(tp AS DOUBLE)/gold_total ELSE 0.0 END))
+                         ELSE 0.0 END, 6) AS f1
+            FROM j
+        """,
+        "split_train_eval": """
+            SELECT doc_id,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'b'
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents
+        """,
+        "sft_pairs": f"""
+            WITH m AS (
+              SELECT DISTINCT d.doc_id, g.alias AS name, g.label
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+            ), agg AS (
+              SELECT doc_id,
+                     array_to_string(list_sort(list(name || '|' || label)), ';') AS completion,
+                     count(*) AS n_entities
+              FROM m GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(len(d.text) AS INT) AS instruction_len,
+                   agg.completion, agg.n_entities
+            FROM documents d JOIN agg USING (doc_id)
+        """,
+        "q5_revenue_per_nation": """
+            SELECT n_name, r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name, r_name
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
     }

@@ -42,16 +42,18 @@ def matched_pairs(pred: DataFrame, gold: DataFrame) -> DataFrame:
     then arbitrary-but-stable hash) and rank equality — the relational
     equivalent of the matched-gold bitmap loop (text_panduan.py:119-139).
     """
+    def _rank_order(prefix: str):
+        return [
+            F.coalesce(F.col(f"{prefix}.{c}"), F.lit(-1))
+            for c in ("xmin", "ymin", "xmax", "ymax")
+        ]
+
     p = pred.select(
         "doc_key", "name", "label", F.col("bnd").alias("p_bnd")
     ).withColumn(
         "p_rank",
         F.row_number().over(
-            Window.partitionBy("doc_key", "name", "label").orderBy(
-                F.coalesce(F.col("p_bnd.xmin"), F.lit(-1)),
-                F.coalesce(F.col("p_bnd.ymin"), F.lit(-1)),
-                F.coalesce(F.col("p_bnd.xmax"), F.lit(-1)),
-            )
+            Window.partitionBy("doc_key", "name", "label").orderBy(*_rank_order("p_bnd"))
         ),
     )
     g = gold.select(
@@ -59,11 +61,7 @@ def matched_pairs(pred: DataFrame, gold: DataFrame) -> DataFrame:
     ).withColumn(
         "g_rank",
         F.row_number().over(
-            Window.partitionBy("doc_key", "name", "label").orderBy(
-                F.coalesce(F.col("g_bnd.xmin"), F.lit(-1)),
-                F.coalesce(F.col("g_bnd.ymin"), F.lit(-1)),
-                F.coalesce(F.col("g_bnd.xmax"), F.lit(-1)),
-            )
+            Window.partitionBy("doc_key", "name", "label").orderBy(*_rank_order("g_bnd"))
         ),
     )
     return (
