@@ -560,6 +560,66 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_cube_counts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_multi_entity_docs(spark, sf_dir):
+    """A6 (数据集/test.py:8-11): count documents with more than one distinct
+    extracted entity."""
+    docs = read_driver_documents(spark, sf_dir)
+    m = kg_mentions(docs, VOCAB_GAZETTEER)
+    per_doc = m.groupBy(F.col("path").cast("bigint").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_doc.agg(
+        F.sum((F.col("n") > 1).cast("int")).alias("multi_entity_docs"),
+        F.count(F.lit(1)).alias("docs_with_entities"),
+    )
+
+
+FALLBACK_GAZETTEER = [
+    ("the", "ent_the", "other"),
+    ("data", "ent_data", "other"),
+]
+
+
+def q_backend_fallback(spark, sf_dir):
+    """D3 (foundation_workflow.py:72-78): primary extractor result, else
+    fallback — coalesce of two extraction backends per document."""
+    docs = read_driver_documents(spark, sf_dir)
+    primary = kg_mentions(docs, VOCAB_GAZETTEER).select(
+        F.col("path").cast("bigint").alias("doc_id"), "name", "label"
+    )
+    fallback = kg_mentions(docs, FALLBACK_GAZETTEER).select(
+        F.col("path").cast("bigint").alias("doc_id"), "name", "label"
+    )
+    primary_docs = primary.select("doc_id").distinct()
+    fb_only = fallback.join(primary_docs, "doc_id", "left_anti")
+    return primary.unionByName(fb_only).distinct()
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only): documents' text bytes as opaque
+    binary payloads through the Arrow feature-extraction stage."""
+    from military_entity_extraction_based_on_large_models_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return extract_features(media).select(
+        "media_id", "payload_sha", "n_bytes", "feat_0", "feat_1"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": q_kg_mentions,
@@ -599,6 +659,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": q_sft_pairs,
         "q5_revenue_per_nation": q5_revenue_per_nation,
         "events_hourly": q_events_hourly,
+        "cube_counts": q_cube_counts,
+        "multi_entity_docs": q_multi_entity_docs,
+        "backend_fallback": q_backend_fallback,
+        "media_features": q_media_features,
     }
 
 
@@ -1027,5 +1091,35 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "cube_counts": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "multi_entity_docs": f"""
+            WITH m AS (
+              SELECT d.doc_id, count(DISTINCT (g.alias, g.label)) AS n
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+              GROUP BY d.doc_id
+            )
+            SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS multi_entity_docs,
+                   count(*) AS docs_with_entities
+            FROM m
+        """,
+        "backend_fallback": f"""
+            WITH p AS (
+              SELECT DISTINCT d.doc_id, g.alias AS name, g.label
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+            ), f AS (
+              SELECT DISTINCT d.doc_id, f.alias AS name, f.label
+              FROM documents d JOIN (VALUES ('the','ent_the','other'), ('data','ent_data','other')) AS f(alias, canonical, label)
+                ON position(f.alias IN d.text) > 0
+            )
+            SELECT doc_id, name, label FROM p
+            UNION
+            SELECT doc_id, name, label FROM f
+            WHERE doc_id NOT IN (SELECT doc_id FROM p)
         """,
     }
