@@ -620,6 +620,26 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_prompt_assembly(spark, sf_dir):
+    """P7 (ImageEntityExtractor.py:212-222): prompt templating as a pure
+    projection, with the reference's label-conditional hint additions."""
+    docs = read_driver_documents(spark, sf_dir)
+    m = kg_mentions(docs, VOCAB_GAZETTEER)
+    hint = F.when(
+        F.col("label").isin("aircraft", "vehicle"),
+        F.lit(" Pay attention to partial occlusion."),
+    ).otherwise(F.lit(""))
+    return m.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "name",
+        F.concat(
+            F.lit("Locate "), F.col("name"),
+            F.lit(" ("), F.col("label"), F.lit(") in the document."),
+            hint,
+        ).alias("prompt"),
+    ).distinct()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": q_kg_mentions,
@@ -663,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_entity_docs": q_multi_entity_docs,
         "backend_fallback": q_backend_fallback,
         "media_features": q_media_features,
+        "prompt_assembly": q_prompt_assembly,
     }
 
 
@@ -1091,6 +1112,14 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "prompt_assembly": f"""
+            SELECT DISTINCT d.doc_id, g.alias AS name,
+                   'Locate ' || g.alias || ' (' || g.label || ') in the document.'
+                   || CASE WHEN g.label IN ('aircraft', 'vehicle')
+                           THEN ' Pay attention to partial occlusion.' ELSE '' END AS prompt
+            FROM documents d JOIN {GAZ_SQL}
+              ON position(g.alias IN d.text) > 0
         """,
         "cube_counts": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
