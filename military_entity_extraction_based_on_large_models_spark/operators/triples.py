@@ -42,11 +42,15 @@ PROV = ["doc_sha", "repo", "path", "commit"]
 def materialize_triples(linked: DataFrame) -> DataFrame:
     """Linked, deduped mentions → triple rows (TRIPLE_COLUMNS).
 
-    Input rows must be unique per (document, name, label) — the output of
-    ``extract.dedup_mentions`` — so the generated triple set needs no final
-    distinct."""
+    Input may be raw linked mentions: the per-doc ``collect_set`` enforces
+    (canonical, label, name) set semantics itself (reference D1,
+    reflect_workflow1.py:44-53), so running ``dedup_mentions`` first is
+    NOT required — skipping it saves a full shuffle of the mention table.
+    Error rows (I5) are excluded here."""
     from .extract import DOC_KEY, with_doc_key
 
+    if "error" in linked.columns:
+        linked = linked.where(F.col("error").isNull())
     if not set(DOC_KEY) <= set(linked.columns):
         linked = with_doc_key(linked)
     per_doc = linked.groupBy(*DOC_KEY).agg(

@@ -45,8 +45,9 @@ def kg_pipeline(
     ambiguous = _ambiguous_names(gazetteer)
     mentions = extract_mentions(docs, gazetteer, emit_context=bool(ambiguous))
     linked = link_mentions(mentions, context_terms or CONTEXT_TERMS, ambiguous)
-    deduped = dedup_mentions(linked)
-    return materialize_triples(deduped)
+    # no dedup_mentions stage: materialize_triples' per-doc collect_set IS the
+    # (name, label) set semantics — one shuffle end-to-end instead of two
+    return materialize_triples(linked)
 
 
 def kg_mentions(
