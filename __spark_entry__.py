@@ -640,6 +640,32 @@ def q_prompt_assembly(spark, sf_dir):
     ).distinct()
 
 
+def q_entity_frequencies(spark, sf_dir):
+    """Hot-key-robust corpus statistics: mention count + distinct-document
+    count per canonical entity via salted two-phase aggregation (north-rule
+    skew clause; operators/skew.py)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.skew import (
+        salted_agg,
+    )
+
+    docs = read_driver_documents(spark, sf_dir)
+    m = kg_mentions(docs, VOCAB_GAZETTEER).select(
+        "canonical", F.col("path").cast("bigint").alias("doc_id")
+    )
+    return salted_agg(
+        m,
+        ["canonical"],
+        partial=[
+            F.count(F.lit(1)).alias("_n"),
+            F.collect_set("doc_id").alias("_docs"),
+        ],
+        final=[
+            F.sum("_n").alias("n_mentions"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("_docs")))).alias("n_docs"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": q_kg_mentions,
@@ -684,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backend_fallback": q_backend_fallback,
         "media_features": q_media_features,
         "prompt_assembly": q_prompt_assembly,
+        "entity_frequencies": q_entity_frequencies,
     }
 
 
@@ -1120,6 +1147,17 @@ def oracle_sql() -> dict[str, str]:
                            THEN ' Pay attention to partial occlusion.' ELSE '' END AS prompt
             FROM documents d JOIN {GAZ_SQL}
               ON position(g.alias IN d.text) > 0
+        """,
+        "entity_frequencies": f"""
+            WITH m AS (
+              SELECT DISTINCT d.doc_id, g.alias, g.canonical, g.label
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+            )
+            SELECT canonical,
+                   count(*) AS n_mentions,
+                   CAST(count(DISTINCT doc_id) AS INT) AS n_docs
+            FROM m GROUP BY canonical
         """,
         "cube_counts": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders

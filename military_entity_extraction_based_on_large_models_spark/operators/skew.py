@@ -1,0 +1,84 @@
+"""Skew-robust aggregation: two-phase salted groupBy.
+
+North-rule clause: hot keys (common weapon-system names mentioned in a large
+fraction of documents; mega-repos) must not serialize on one reducer.  Spark's
+hash aggregation already does map-side partial aggregation, which handles
+count/sum-style skew; the salted two-phase pattern below matters for the
+aggregations where partial state is large (collect_set/distinct counts), and
+it is the pattern the canonicalization fixpoint uses (operators.canonicalize).
+
+``salted_agg`` is the general form: phase 1 groups by (key, salt) — the hot
+key's rows spread over ``buckets`` reducers — phase 2 merges the partials.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 32
+
+
+def with_salt(df: DataFrame, buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Uniform per-row salt (hash of the whole row would correlate with the
+    key; monotonically_increasing_id is partition-local and cheap)."""
+    return df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial: Sequence[Column],
+    final: Sequence[Column],
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Two-phase aggregation: groupBy(keys + salt).agg(partial) →
+    groupBy(keys).agg(final over the partial columns).
+
+    Example — skew-robust distinct-document count per entity::
+
+        salted_agg(
+            mentions, ["canonical"],
+            partial=[F.collect_set("doc_sha").alias("_docs")],
+            final=[F.size(F.array_distinct(F.flatten(F.collect_list("_docs")))).alias("n_docs")],
+        )
+    """
+    salted = with_salt(df, buckets)
+    phase1 = salted.groupBy(*keys, "_salt").agg(*partial)
+    return phase1.groupBy(*keys).agg(*final)
+
+
+def salted_count(df: DataFrame, keys: Sequence[str], buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Skew-robust row count per key → (keys..., n)."""
+    return salted_agg(
+        df,
+        keys,
+        partial=[F.count(F.lit(1)).alias("_n")],
+        final=[F.sum("_n").alias("n")],
+        buckets=buckets,
+    )
+
+
+def salted_distinct_count(
+    df: DataFrame, keys: Sequence[str], value: str, buckets: int = DEFAULT_BUCKETS
+) -> DataFrame:
+    """Skew-robust count-distinct per key → (keys..., n_distinct).
+
+    Phase 1 collects per-salt value sets (bounded: each reducer sees only
+    its salt slice of the hot key), phase 2 unions them.
+    """
+    return salted_agg(
+        df,
+        keys,
+        partial=[F.collect_set(value).alias("_vals")],
+        final=[
+            F.size(F.array_distinct(F.flatten(F.collect_list("_vals")))).alias(
+                "n_distinct"
+            )
+        ],
+        buckets=buckets,
+    )
