@@ -640,6 +640,45 @@ def q_prompt_assembly(spark, sf_dir):
     ).distinct()
 
 
+def q_judge_sample_accuracy(spark, sf_dir):
+    """All-or-nothing per-document accuracy (judge/judge.py:30-99): a doc is
+    correct iff every gold entity matched and no spurious prediction."""
+    from military_entity_extraction_based_on_large_models_spark.operators.judge import (
+        sample_accuracy,
+    )
+
+    pred, gold = _eval_frames(spark, sf_dir)
+    docs = pred.select("doc_key").unionByName(gold.select("doc_key")).distinct()
+    out = sample_accuracy(pred, gold, docs)
+    return out.select(
+        "correct_samples",
+        "total_samples",
+        F.round("accuracy", 6).alias("accuracy"),
+    )
+
+
+def q_graph_two_hop(spark, sf_dir):
+    """Neighborhood expansion over the materialized graph: entities reachable
+    from each entity via two co_occurs_with hops (graph-query surface over
+    the triple table)."""
+    t = _kg_base(spark, sf_dir)
+    co = (
+        t.where(F.col("pred") == "co_occurs_with")
+        .select("subj", "obj")
+        .distinct()
+    )
+    # undirected edges
+    edges = co.unionByName(co.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))).distinct()
+    two_hop = (
+        edges.alias("a")
+        .join(edges.alias("b"), F.col("a.obj") == F.col("b.subj"))
+        .where(F.col("a.subj") != F.col("b.obj"))
+        .select(F.col("a.subj").alias("entity"), F.col("b.obj").alias("two_hop"))
+        .distinct()
+    )
+    return two_hop
+
+
 def q_entity_frequencies(spark, sf_dir):
     """Hot-key-robust corpus statistics: mention count + distinct-document
     count per canonical entity via salted two-phase aggregation (north-rule
@@ -711,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "prompt_assembly": q_prompt_assembly,
         "entity_frequencies": q_entity_frequencies,
+        "judge_sample_accuracy": q_judge_sample_accuracy,
+        "graph_two_hop": q_graph_two_hop,
     }
 
 
@@ -1147,6 +1188,82 @@ def oracle_sql() -> dict[str, str]:
                            THEN ' Pay attention to partial occlusion.' ELSE '' END AS prompt
             FROM documents d JOIN {GAZ_SQL}
               ON position(g.alias IN d.text) > 0
+        """,
+        "judge_sample_accuracy": """
+            WITH base AS (
+              SELECT p_partkey AS pk,
+                     CAST(p_partkey % 50 AS BIGINT) AS doc_key,
+                     p_name AS name, p_brand AS label,
+                     p_size % 15 + 1 AS s,
+                     p_partkey % 20 AS gx1, (p_partkey // 20) % 20 AS gy1,
+                     p_partkey % 4 AS dx,
+                     p_partkey % 7 = 0 AS nullbox
+              FROM part
+            ), pred AS (
+              SELECT doc_key, name,
+                     CASE WHEN pk % 13 = 0 THEN label || '_X' ELSE label END AS label,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 + dx END AS x1,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 + s + dx END AS x2,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
+              FROM base
+            ), gold AS (
+              SELECT doc_key, name, label,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 END AS x1,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 + s END AS x2,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
+              FROM base WHERE pk % 11 <> 0
+            ), pr AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
+                        ORDER BY coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rnk
+              FROM pred
+            ), gr AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
+                        ORDER BY coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rnk
+              FROM gold
+            ), m AS (
+              SELECT doc_key
+              FROM pr JOIN gr USING (doc_key, name, label)
+              WHERE pr.rnk = gr.rnk AND (
+                (pr.x1 IS NULL AND gr.x1 IS NULL)
+                OR (pr.x1 IS NOT NULL AND gr.x1 IS NOT NULL AND
+                    3.0 * (greatest(least(pr.x2, gr.x2) - greatest(pr.x1, gr.x1), 0)
+                           * greatest(least(pr.y2, gr.y2) - greatest(pr.y1, gr.y1), 0))
+                    > CAST(greatest(pr.x2 - pr.x1, 0) * greatest(pr.y2 - pr.y1, 0)
+                           + greatest(gr.x2 - gr.x1, 0) * greatest(gr.y2 - gr.y1, 0) AS DOUBLE))
+              )
+            ), per_doc AS (
+              SELECT d.doc_key,
+                     coalesce(p.n, 0) AS n_pred,
+                     coalesce(g.n, 0) AS n_gold,
+                     coalesce(mm.n, 0) AS n_match
+              FROM (SELECT DISTINCT doc_key FROM pred
+                    UNION SELECT DISTINCT doc_key FROM gold) d
+              LEFT JOIN (SELECT doc_key, count(*) AS n FROM pred GROUP BY 1) p USING (doc_key)
+              LEFT JOIN (SELECT doc_key, count(*) AS n FROM gold GROUP BY 1) g USING (doc_key)
+              LEFT JOIN (SELECT doc_key, count(*) AS n FROM m GROUP BY 1) mm USING (doc_key)
+            )
+            SELECT CAST(sum(CASE WHEN n_match = n_gold AND n_match = n_pred THEN 1 ELSE 0 END) AS BIGINT) AS correct_samples,
+                   count(*) AS total_samples,
+                   round(CAST(sum(CASE WHEN n_match = n_gold AND n_match = n_pred THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
+            FROM per_doc
+        """,
+        "graph_two_hop": f"""
+            WITH ment AS (
+              SELECT DISTINCT d.doc_id, g.canonical
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+              WHERE g.label <> 'location'
+            ), co AS (
+              SELECT DISTINCT a.canonical AS subj, b.canonical AS obj
+              FROM ment a JOIN ment b ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+            ), edges AS (
+              SELECT subj, obj FROM co UNION SELECT obj, subj FROM co
+            )
+            SELECT DISTINCT a.subj AS entity, b.obj AS two_hop
+            FROM edges a JOIN edges b ON a.obj = b.subj
+            WHERE a.subj <> b.obj
         """,
         "entity_frequencies": f"""
             WITH m AS (
