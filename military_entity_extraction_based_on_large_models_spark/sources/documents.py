@@ -34,15 +34,31 @@ def with_doc_sha(df: DataFrame) -> DataFrame:
 
 
 def read_documents(
-    spark: SparkSession, path: str, repartition_by_repo_path: bool = False
+    spark: SparkSession,
+    path: str,
+    repartition_by_repo_path: bool = False,
+    source_format: str = "parquet",
 ) -> DataFrame:
-    """Scan an input_hint-shaped parquet/Iceberg table.
+    """Scan an input_hint-shaped table.
+
+    ``source_format``: "parquet" (default — the only format present in this
+    container), "iceberg" (``spark.read.format("iceberg").load``; requires the
+    Iceberg runtime jar on the cluster), or "table" (catalog-registered
+    Iceberg table name via ``spark.table`` — the production path at 100 TB,
+    where partition pruning comes from the Iceberg metadata layer).
 
     Column pruning and predicate pushdown are Catalyst's job — callers filter
     and select on the returned frame and the scan narrows automatically
     (verify with ``df.explain``: PushedFilters / ReadSchema).
     """
-    df = spark.read.parquet(path) if path.endswith(".parquet") or "://" not in path else spark.read.format("iceberg").load(path)
+    if source_format == "parquet":
+        df = spark.read.parquet(path)
+    elif source_format == "iceberg":
+        df = spark.read.format("iceberg").load(path)
+    elif source_format == "table":
+        df = spark.table(path)
+    else:
+        raise ValueError(f"unknown source_format: {source_format}")
     df = with_doc_sha(df.select(*DOC_COLUMNS))
     if repartition_by_repo_path:
         # Balance per-document compute cost ahead of the extraction UDF; at
