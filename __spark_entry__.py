@@ -679,6 +679,24 @@ def q_graph_two_hop(spark, sf_dir):
     return two_hop
 
 
+def q_events_value_delta(spark, sf_dir):
+    """lead/lag window coverage: per-user sum of absolute deltas between
+    consecutive event values (ordered by event_id)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    return (
+        ev.withColumn("_d", F.abs(delta))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("_d"), 2).alias("total_abs_delta"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def q_entity_frequencies(spark, sf_dir):
     """Hot-key-robust corpus statistics: mention count + distinct-document
     count per canonical entity via salted two-phase aggregation (north-rule
@@ -752,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_frequencies": q_entity_frequencies,
         "judge_sample_accuracy": q_judge_sample_accuracy,
         "graph_two_hop": q_graph_two_hop,
+        "events_value_delta": q_events_value_delta,
     }
 
 
@@ -1188,6 +1207,16 @@ def oracle_sql() -> dict[str, str]:
                            THEN ' Pay attention to partial occlusion.' ELSE '' END AS prompt
             FROM documents d JOIN {GAZ_SQL}
               ON position(g.alias IN d.text) > 0
+        """,
+        "events_value_delta": """
+            WITH d AS (
+              SELECT user_id,
+                     abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id)) AS ad
+              FROM events
+            )
+            SELECT user_id, round(sum(ad), 2) AS total_abs_delta,
+                   count(*) AS n_events
+            FROM d GROUP BY user_id
         """,
         "judge_sample_accuracy": """
             WITH base AS (
