@@ -135,6 +135,42 @@ class _Automaton:
             for canonical, label in self.meta[pat_idx]:
                 yield begin, end, alias, canonical, label
 
+    def match_rows(self, text: str, context_window: int | None) -> list[tuple]:
+        """Hot-path variant: build the mention-struct tuples directly
+        (no generator frames, aliases with a single meta take the fast
+        branch).  Row shape matches MENTION_STRUCT field order."""
+        rows: list[tuple] = []
+        append = rows.append
+        if self.use_find:
+            find = text.find
+            for alias, plen, metas in zip(self.patterns, self.lens, self.meta):
+                i = find(alias)
+                if i < 0:
+                    continue
+                single = metas[0] if len(metas) == 1 else None
+                while i >= 0:
+                    end = i + plen
+                    ctx = (
+                        text[0 if i < context_window else i - context_window : end + context_window]
+                        if context_window is not None
+                        else None
+                    )
+                    if single is not None:
+                        append((alias, single[1], single[0], i, ctx))
+                    else:
+                        for canonical, label in metas:
+                            append((alias, label, canonical, i, ctx))
+                    i = find(alias, i + 1)
+            return rows
+        for begin, end, alias, canonical, label in self.match(text):
+            ctx = (
+                text[max(0, begin - context_window) : end + context_window]
+                if context_window is not None
+                else None
+            )
+            append((alias, label, canonical, begin, ctx))
+        return rows
+
 
 # Per-executor-process automaton cache (module global survives across Arrow
 # batches and tasks within one python worker — the setup cost is paid once).
@@ -215,29 +251,10 @@ def extract_mentions(
         for pdf in batches:
             mention_lists: list[list | None] = []
             errors: list[str | None] = []
+            cw = context_window if emit_context else None
             for content in pdf["content"]:
                 try:
-                    text = content or ""
-                    if emit_context:
-                        mention_lists.append(
-                            [
-                                (
-                                    alias,
-                                    label,
-                                    canonical,
-                                    begin,
-                                    text[max(0, begin - context_window) : end + context_window],
-                                )
-                                for begin, end, alias, canonical, label in auto.match(text)
-                            ]
-                        )
-                    else:
-                        mention_lists.append(
-                            [
-                                (alias, label, canonical, begin, None)
-                                for begin, _end, alias, canonical, label in auto.match(text)
-                            ]
-                        )
+                    mention_lists.append(auto.match_rows(content or "", cw))
                     errors.append(None)
                 except Exception as exc:  # I5: row-level containment
                     mention_lists.append(None)
