@@ -172,17 +172,20 @@ def q3_top_revenue_orders(spark, sf_dir):
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            # keep the raw aggregate for ordering: the oracle orders by the
+            # unrounded sum, and two orders straddling the top-10 cutoff could
+            # round to the same cent (ADVICE r01)
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_raw_revenue"
+            )
         )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .orderBy(F.col("_raw_revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
         .select(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
             "o_orderpriority",
-            "revenue",
+            F.round(F.col("_raw_revenue"), 2).alias("revenue"),
         )
     )
 

@@ -49,7 +49,12 @@ def link_mentions(
         if not amb:
             return mentions
         hot = mentions.where(F.col("name").isin(amb))
-        cold = mentions.where(~F.col("name").isin(amb))
+        # NULL-name rows (I5 row-level error-containment records) must route
+        # cold explicitly: both isin() and ~isin() are NULL for them, which
+        # would silently drop the error rows from both branches (ADVICE r01)
+        cold = mentions.where(
+            ~F.col("name").isin(amb) | F.col("name").isNull()
+        )
         return cold.unionByName(link_mentions(hot, context_terms, None))
     spark = mentions.sparkSession
     terms = [(k, list(v)) for k, v in (context_terms or {}).items()]

@@ -15,9 +15,24 @@ from pyspark.sql import DataFrame
 
 
 def scale_out(df: DataFrame, multiple: int = 1) -> DataFrame:
-    """Repartition df up to defaultParallelism × multiple if it currently has
-    fewer partitions; otherwise return it unchanged."""
+    """Repartition df up to defaultParallelism × multiple if its scan would
+    produce fewer splits; otherwise return it unchanged.
+
+    The split estimate comes from ``df.inputFiles()`` (a metadata-only call on
+    the file index), NOT ``df.rdd.getNumPartitions()``: materializing the RDD
+    forces a plan→RDD conversion on every invocation, bypasses AQE's view of
+    the plan, and was flagged in the round-1 review.  File count slightly
+    underestimates splits when files exceed maxPartitionBytes — acceptable,
+    because the only cost of a false positive is one narrow round-robin
+    exchange.  Frames that are not file scans (post-shuffle intermediates)
+    report no input files and pass through unchanged: they already carry the
+    shuffle partitioning.
+    """
     target = df.sparkSession.sparkContext.defaultParallelism * multiple
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df

@@ -99,4 +99,8 @@ def run_resumable(
         docs = with_doc_sha(docs)
     remaining = lineage.resume_filter(docs, out_dir, n_buckets)
     triples = kg_pipeline(remaining.drop("part_bucket"), gazetteer)
-    lineage.write_with_lineage(triples, out_dir, n_buckets)
+    # the manifest records the INPUT digest of the slice this run covered, so
+    # resume validation can also vouch for docs that emitted zero triples
+    lineage.write_with_lineage(
+        triples, out_dir, n_buckets, input_docs=remaining.drop("part_bucket")
+    )

@@ -54,7 +54,18 @@ def read_documents(
     if source_format == "parquet":
         df = spark.read.parquet(path)
     elif source_format == "iceberg":
-        df = spark.read.format("iceberg").load(path)
+        # Guarded: this container carries no Iceberg runtime jar, so the raw
+        # Spark error ("Failed to find data source: iceberg") is replaced with
+        # an actionable one naming the dependency (round-1 review item).
+        try:
+            df = spark.read.format("iceberg").load(path)
+        except Exception as exc:  # noqa: BLE001 — re-raise with context
+            raise RuntimeError(
+                "Iceberg read requires the iceberg-spark-runtime jar on the "
+                "cluster classpath (spark.jars.packages="
+                "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version>); "
+                "it is not bundled in this environment"
+            ) from exc
     elif source_format == "table":
         df = spark.table(path)
     else:

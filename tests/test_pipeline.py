@@ -54,15 +54,67 @@ def test_resumable_write_and_skip(spark, docs_df, tmp_path):
     assert manifest.count() <= 8
     assert manifest.agg(F.sum("row_count")).first()[0] == n1
 
-    # resume: all buckets committed → nothing left to process
+    # resume: the manifest records the INPUT digest per bucket, so with an
+    # identical input NOTHING remains — including buckets whose docs emitted
+    # zero triples
     remaining = lineage.resume_filter(docs_df, out, n_buckets=8)
-    # every doc whose bucket committed is dropped; buckets with zero triples
-    # may legitimately remain
-    committed = {r[0] for r in manifest.select("part_bucket").collect()}
-    left = {r[0] for r in remaining.select("part_bucket").distinct().collect()}
-    assert left.isdisjoint(committed)
+    assert remaining.count() == 0
 
     # idempotency: re-running everything produces the identical triple set
     run_resumable(docs_df, out, n_buckets=8)
     second = spark.read.parquet(out + "/data")
     assert second.count() == n1
+
+
+def test_resume_detects_new_doc_in_committed_bucket(spark, docs_df, tmp_path):
+    """A NEW doc hashing into an already-committed bucket must flip that
+    bucket's digest and re-process it (ADVICE r01: membership-only resume
+    silently dropped such docs)."""
+    from military_entity_extraction_based_on_large_models_spark.sources.documents import (
+        with_doc_sha,
+    )
+
+    out = str(tmp_path / "kg_out2")
+    run_resumable(docs_df, out, n_buckets=4)
+    n1 = spark.read.parquet(out + "/data").count()
+
+    new_doc = with_doc_sha(
+        spark.createDataFrame(
+            [("r9", "p9", "c9", "en", "an Eurofighter circled the base")],
+            ["repo", "path", "commit", "lang", "content"],
+        )
+    )
+    grown = docs_df.unionByName(new_doc)
+    remaining = lineage.resume_filter(grown, out, n_buckets=4)
+    # exactly the new doc's bucket re-opens: remaining covers every grown-input
+    # doc of that bucket and nothing from the untouched buckets
+    new_bucket = lineage.with_bucket(new_doc, 4).select("part_bucket").first()[0]
+    rem_buckets = {r[0] for r in remaining.select("part_bucket").distinct().collect()}
+    assert rem_buckets == {new_bucket}
+
+    # end-to-end: re-running over the grown input picks the new doc up
+    run_resumable(grown, out, n_buckets=4)
+    data = spark.read.parquet(out + "/data")
+    assert data.count() > n1
+    assert data.where(F.col("subj") == "ent_eurofighter").count() > 0
+    # and a third run over the same grown input is a no-op resume
+    assert lineage.resume_filter(grown, out, n_buckets=4).count() == 0
+
+
+def test_linking_keeps_null_name_error_rows(spark):
+    """I5 error-containment rows (name NULL) must survive the hot/cold split
+    in link_mentions (ADVICE r01: NULL fails both isin branches)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.linking import (
+        link_mentions,
+    )
+
+    rows = [
+        ("r", "p1", "c", 0, "Tiger", "ent_tiger_heli", "ctx"),
+        ("r", "p2", "c", 0, None, None, None),  # error-containment row
+    ]
+    mentions = spark.createDataFrame(
+        rows, ["repo", "path", "commit", "begin", "name", "canonical", "context"]
+    )
+    linked = link_mentions(mentions, {}, ambiguous_names=["Tiger"])
+    assert linked.count() == 2
+    assert linked.where(F.col("name").isNull()).count() == 1
