@@ -248,18 +248,23 @@ def q_max_by_supplier(spark, sf_dir):
 
 
 def q_setops_counts(spark, sf_dir):
+    """union/intersect/except cardinalities in ONE lazy aggregation (one scan,
+    one job) instead of three driver-side count() actions (round-1 review):
+    tag each key's set memberships, reduce per key, sum the set predicates."""
     cust = _t(spark, sf_dir, "customer")
-    a = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    b = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
-    spark_row = [
-        (
-            a.union(b).distinct().count(),
-            a.intersect(b).count(),
-            a.subtract(b).count(),
+    per_key = (
+        cust.select(
+            "c_custkey",
+            (F.col("c_mktsegment") == "BUILDING").cast("int").alias("_a"),
+            (F.col("c_acctbal") > 5000).cast("int").alias("_b"),
         )
-    ]
-    return spark.createDataFrame(
-        spark_row, ["union_n", "intersect_n", "except_n"]
+        .groupBy("c_custkey")
+        .agg(F.max("_a").alias("a"), F.max("_b").alias("b"))
+    )
+    return per_key.agg(
+        F.sum(((F.col("a") == 1) | (F.col("b") == 1)).cast("int")).alias("union_n"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("int")).alias("intersect_n"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("int")).alias("except_n"),
     )
 
 
@@ -660,6 +665,58 @@ def q_judge_sample_accuracy(spark, sf_dir):
     )
 
 
+def _song_frames(spark, sf_dir):
+    """Eval frames for the max-area-representative judge (judge_song.py:32-107):
+    grouped on (doc_key, p_brand, p_type) so groups genuinely hold several
+    boxes (~2 avg at sf0.01) and the representative choice matters."""
+    from military_entity_extraction_based_on_large_models_spark.functions.geometry import box
+
+    part = _t(spark, sf_dir, "part")
+    p = F.col("p_partkey")
+    size = F.col("p_size") % 15 + 1
+    gx1, gy1 = p % 20, F.expr("p_partkey DIV 20") % 20
+    base = part.select(
+        (p % 50).cast("bigint").alias("doc_key"),
+        F.col("p_brand").alias("name"),
+        F.col("p_type").alias("label"),
+        p.alias("pk"),
+        F.when(p % 7 != 0, box(gx1, gy1, gx1 + size, gy1 + size)).alias("gold_bnd"),
+        F.when(p % 7 != 0, box(gx1 + p % 4, gy1, gx1 + size + p % 4, gy1 + size)).alias("pred_bnd"),
+    )
+    gold = base.where(F.col("pk") % 11 != 0).select(
+        "doc_key", "name", "label", F.col("gold_bnd").alias("bnd")
+    )
+    pred = base.select(
+        "doc_key",
+        "name",
+        F.when(F.col("pk") % 13 == 0, F.concat(F.col("label"), F.lit("_X"))).otherwise(F.col("label")).alias("label"),
+        F.col("pred_bnd").alias("bnd"),
+    )
+    return pred, gold
+
+
+def q_judge_song_accuracy(spark, sf_dir):
+    """Max-area-representative sample accuracy (judge_song.py:32-107,
+    workflow3's 111/120 = 0.925 judge): BOTH sides collapse to their max-area
+    box per (doc, name, label), then all-or-nothing per-document accuracy —
+    A5 (max-by-area) composed with the A2/A3 counters."""
+    from military_entity_extraction_based_on_large_models_spark.operators.judge import (
+        max_area_gold,
+        sample_accuracy,
+    )
+
+    pred, gold = _song_frames(spark, sf_dir)
+    pred_rep = max_area_gold(pred)
+    gold_rep = max_area_gold(gold)
+    docs = pred.select("doc_key").unionByName(gold.select("doc_key")).distinct()
+    out = sample_accuracy(pred_rep, gold_rep, docs)
+    return out.select(
+        "correct_samples",
+        "total_samples",
+        F.round("accuracy", 6).alias("accuracy"),
+    )
+
+
 def q_graph_two_hop(spark, sf_dir):
     """Neighborhood expansion over the materialized graph: entities reachable
     from each entity via two co_occurs_with hops (graph-query surface over
@@ -772,9 +829,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prompt_assembly": q_prompt_assembly,
         "entity_frequencies": q_entity_frequencies,
         "judge_sample_accuracy": q_judge_sample_accuracy,
+        "judge_song_accuracy": q_judge_song_accuracy,
         "graph_two_hop": q_graph_two_hop,
         "events_value_delta": q_events_value_delta,
     }
+
+
+# --------------------------------------------------------------------------
+# shared oracle-SQL fragments
+# --------------------------------------------------------------------------
+
+# The judge family shares one eval-frame derivation (pred/gold from part) and
+# one greedy matcher.  The matcher is the reference's matched-gold bitmap loop
+# (text_panduan.py:119-139) as a recursive CTE: agreement pairs are walked in
+# (pred rank, gold rank) order per (doc_key, name, label) group, and a pair is
+# kept iff neither rank matched yet — byte-identical semantics to the Spark
+# side's aggregate fold in operators/judge.py::matched_pairs.
+_JUDGE_PREFIX = """
+            base AS (
+              SELECT p_partkey AS pk,
+                     CAST(p_partkey % 50 AS BIGINT) AS doc_key,
+                     p_name AS name, p_brand AS label,
+                     p_size % 15 + 1 AS s,
+                     p_partkey % 20 AS gx1, (p_partkey // 20) % 20 AS gy1,
+                     p_partkey % 4 AS dx,
+                     p_partkey % 7 = 0 AS nullbox
+              FROM part
+            ), pred AS (
+              SELECT doc_key, name,
+                     CASE WHEN pk % 13 = 0 THEN label || '_X' ELSE label END AS label,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 + dx END AS x1,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 + s + dx END AS x2,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
+              FROM base
+            ), gold AS (
+              SELECT doc_key, name, label,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 END AS x1,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
+                     CASE WHEN nullbox THEN NULL ELSE gx1 + s END AS x2,
+                     CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
+              FROM base WHERE pk % 11 <> 0
+            ), pr AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
+                        ORDER BY coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rnk
+              FROM pred
+            ), gr AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
+                        ORDER BY coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rnk
+              FROM gold
+            ), agree AS (
+              SELECT pr.doc_key, pr.name, pr.label,
+                     CAST(pr.rnk AS INT) AS p, CAST(gr.rnk AS INT) AS g
+              FROM pr JOIN gr USING (doc_key, name, label)
+              WHERE (pr.x1 IS NULL AND gr.x1 IS NULL)
+                 OR (pr.x1 IS NOT NULL AND gr.x1 IS NOT NULL AND
+                     3.0 * (greatest(least(pr.x2, gr.x2) - greatest(pr.x1, gr.x1), 0)
+                            * greatest(least(pr.y2, gr.y2) - greatest(pr.y1, gr.y1), 0))
+                     > CAST(greatest(pr.x2 - pr.x1, 0) * greatest(pr.y2 - pr.y1, 0)
+                            + greatest(gr.x2 - gr.x1, 0) * greatest(gr.y2 - gr.y1, 0) AS DOUBLE))
+            ), ap AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY doc_key, name, label
+                                                ORDER BY p, g) AS INT) AS idx
+              FROM agree
+            ), st AS (
+              SELECT doc_key, name, label, 0 AS i,
+                     CAST([] AS INT[]) AS mp, CAST([] AS INT[]) AS mg, 0 AS tp
+              FROM (SELECT DISTINCT doc_key, name, label FROM ap)
+              UNION ALL
+              SELECT st.doc_key, st.name, st.label, st.i + 1,
+                     CASE WHEN NOT list_contains(st.mp, ap.p) AND NOT list_contains(st.mg, ap.g)
+                          THEN list_append(st.mp, ap.p) ELSE st.mp END,
+                     CASE WHEN NOT list_contains(st.mp, ap.p) AND NOT list_contains(st.mg, ap.g)
+                          THEN list_append(st.mg, ap.g) ELSE st.mg END,
+                     st.tp + CASE WHEN NOT list_contains(st.mp, ap.p) AND NOT list_contains(st.mg, ap.g)
+                                  THEN 1 ELSE 0 END
+              FROM st JOIN ap ON ap.doc_key = st.doc_key AND ap.name = st.name
+                             AND ap.label = st.label AND ap.idx = st.i + 1
+            ), m AS (
+              SELECT st.doc_key, st.name, st.label, st.tp
+              FROM st JOIN (SELECT doc_key, name, label, max(idx) AS n
+                            FROM ap GROUP BY 1, 2, 3) z
+                ON st.doc_key = z.doc_key AND st.name = z.name
+               AND st.label = z.label AND st.i = z.n
+            )
+"""
+
+
+def _judge_sql(tail: str) -> str:
+    return "WITH RECURSIVE " + _JUDGE_PREFIX + tail
 
 
 _WS_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -1038,52 +1181,9 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.8
         """,
-        "judge_micro_prf": """
-            WITH base AS (
-              SELECT p_partkey AS pk,
-                     CAST(p_partkey % 50 AS BIGINT) AS doc_key,
-                     p_name AS name, p_brand AS label,
-                     p_size % 15 + 1 AS s,
-                     p_partkey % 20 AS gx1, (p_partkey // 20) % 20 AS gy1,
-                     p_partkey % 4 AS dx,
-                     p_partkey % 7 = 0 AS nullbox
-              FROM part
-            ), pred AS (
-              SELECT doc_key, name,
-                     CASE WHEN pk % 13 = 0 THEN label || '_X' ELSE label END AS label,
-                     CASE WHEN nullbox THEN NULL ELSE gx1 + dx END AS x1,
-                     CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
-                     CASE WHEN nullbox THEN NULL ELSE gx1 + s + dx END AS x2,
-                     CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
-              FROM base
-            ), gold AS (
-              SELECT doc_key, name, label,
-                     CASE WHEN nullbox THEN NULL ELSE gx1 END AS x1,
-                     CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
-                     CASE WHEN nullbox THEN NULL ELSE gx1 + s END AS x2,
-                     CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
-              FROM base WHERE pk % 11 <> 0
-            ), pr AS (
-              SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
-                        ORDER BY coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rnk
-              FROM pred
-            ), gr AS (
-              SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
-                        ORDER BY coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rnk
-              FROM gold
-            ), m AS (
-              SELECT pr.label
-              FROM pr JOIN gr USING (doc_key, name, label)
-              WHERE pr.rnk = gr.rnk AND (
-                (pr.x1 IS NULL AND gr.x1 IS NULL)
-                OR (pr.x1 IS NOT NULL AND gr.x1 IS NOT NULL AND
-                    3.0 * (greatest(least(pr.x2, gr.x2) - greatest(pr.x1, gr.x1), 0)
-                           * greatest(least(pr.y2, gr.y2) - greatest(pr.y1, gr.y1), 0))
-                    > CAST(greatest(pr.x2 - pr.x1, 0) * greatest(pr.y2 - pr.y1, 0)
-                           + greatest(gr.x2 - gr.x1, 0) * greatest(gr.y2 - gr.y1, 0) AS DOUBLE))
-              )
-            ), counts AS (
-              SELECT (SELECT count(*) FROM m) AS tp,
+        "judge_micro_prf": _judge_sql("""
+            , counts AS (
+              SELECT (SELECT CAST(coalesce(sum(tp), 0) AS BIGINT) FROM m) AS tp,
                      (SELECT count(*) FROM pred) AS pred_total,
                      (SELECT count(*) FROM gold) AS gold_total
             )
@@ -1093,57 +1193,14 @@ def oracle_sql() -> dict[str, str]:
                    round(2.0 * (CAST(tp AS DOUBLE) / pred_total) * (CAST(tp AS DOUBLE) / gold_total)
                          / (CAST(tp AS DOUBLE) / pred_total + CAST(tp AS DOUBLE) / gold_total), 6) AS f1
             FROM counts
-        """,
-        "judge_per_label": """
-            WITH base AS (
-              SELECT p_partkey AS pk,
-                     CAST(p_partkey % 50 AS BIGINT) AS doc_key,
-                     p_name AS name, p_brand AS label,
-                     p_size % 15 + 1 AS s,
-                     p_partkey % 20 AS gx1, (p_partkey // 20) % 20 AS gy1,
-                     p_partkey % 4 AS dx,
-                     p_partkey % 7 = 0 AS nullbox
-              FROM part
-            ), pred AS (
-              SELECT doc_key, name,
-                     CASE WHEN pk % 13 = 0 THEN label || '_X' ELSE label END AS label,
-                     CASE WHEN nullbox THEN NULL ELSE gx1 + dx END AS x1,
-                     CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
-                     CASE WHEN nullbox THEN NULL ELSE gx1 + s + dx END AS x2,
-                     CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
-              FROM base
-            ), gold AS (
-              SELECT doc_key, name, label,
-                     CASE WHEN nullbox THEN NULL ELSE gx1 END AS x1,
-                     CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
-                     CASE WHEN nullbox THEN NULL ELSE gx1 + s END AS x2,
-                     CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
-              FROM base WHERE pk % 11 <> 0
-            ), pr AS (
-              SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
-                        ORDER BY coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rnk
-              FROM pred
-            ), gr AS (
-              SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
-                        ORDER BY coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rnk
-              FROM gold
-            ), m AS (
-              SELECT pr.label
-              FROM pr JOIN gr USING (doc_key, name, label)
-              WHERE pr.rnk = gr.rnk AND (
-                (pr.x1 IS NULL AND gr.x1 IS NULL)
-                OR (pr.x1 IS NOT NULL AND gr.x1 IS NOT NULL AND
-                    3.0 * (greatest(least(pr.x2, gr.x2) - greatest(pr.x1, gr.x1), 0)
-                           * greatest(least(pr.y2, gr.y2) - greatest(pr.y1, gr.y1), 0))
-                    > CAST(greatest(pr.x2 - pr.x1, 0) * greatest(pr.y2 - pr.y1, 0)
-                           + greatest(gr.x2 - gr.x1, 0) * greatest(gr.y2 - gr.y1, 0) AS DOUBLE))
-              )
-            ), predc AS (
+        """),
+        "judge_per_label": _judge_sql("""
+            , predc AS (
               SELECT label, count(*) AS pred_total FROM pred GROUP BY label
             ), goldc AS (
               SELECT label, count(*) AS gold_total FROM gold GROUP BY label
             ), tpc AS (
-              SELECT label, count(*) AS tp FROM m GROUP BY label
+              SELECT label, CAST(sum(tp) AS BIGINT) AS tp FROM m GROUP BY label
             ), j AS (
               SELECT coalesce(predc.label, goldc.label) AS label,
                      coalesce(tpc.tp, 0) AS tp,
@@ -1163,7 +1220,7 @@ def oracle_sql() -> dict[str, str]:
                                  + (CASE WHEN gold_total > 0 THEN CAST(tp AS DOUBLE)/gold_total ELSE 0.0 END))
                          ELSE 0.0 END, 6) AS f1
             FROM j
-        """,
+        """),
         "split_train_eval": """
             SELECT doc_id,
                    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'b'
@@ -1221,11 +1278,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM d GROUP BY user_id
         """,
-        "judge_sample_accuracy": """
-            WITH base AS (
+        "judge_sample_accuracy": _judge_sql("""
+            , per_doc AS (
+              SELECT d.doc_key,
+                     coalesce(p.n, 0) AS n_pred,
+                     coalesce(g.n, 0) AS n_gold,
+                     coalesce(mm.n, 0) AS n_match
+              FROM (SELECT DISTINCT doc_key FROM pred
+                    UNION SELECT DISTINCT doc_key FROM gold) d
+              LEFT JOIN (SELECT doc_key, count(*) AS n FROM pred GROUP BY 1) p USING (doc_key)
+              LEFT JOIN (SELECT doc_key, count(*) AS n FROM gold GROUP BY 1) g USING (doc_key)
+              LEFT JOIN (SELECT doc_key, CAST(sum(tp) AS BIGINT) AS n FROM m GROUP BY 1) mm USING (doc_key)
+            )
+            SELECT CAST(sum(CASE WHEN n_match = n_gold AND n_match = n_pred THEN 1 ELSE 0 END) AS BIGINT) AS correct_samples,
+                   count(*) AS total_samples,
+                   round(CAST(sum(CASE WHEN n_match = n_gold AND n_match = n_pred THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
+            FROM per_doc
+        """),
+        "judge_song_accuracy": """
+            WITH sbase AS (
               SELECT p_partkey AS pk,
                      CAST(p_partkey % 50 AS BIGINT) AS doc_key,
-                     p_name AS name, p_brand AS label,
+                     p_brand AS name, p_type AS label,
                      p_size % 15 + 1 AS s,
                      p_partkey % 20 AS gx1, (p_partkey // 20) % 20 AS gy1,
                      p_partkey % 4 AS dx,
@@ -1238,33 +1312,37 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
                      CASE WHEN nullbox THEN NULL ELSE gx1 + s + dx END AS x2,
                      CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
-              FROM base
+              FROM sbase
             ), gold AS (
               SELECT doc_key, name, label,
                      CASE WHEN nullbox THEN NULL ELSE gx1 END AS x1,
                      CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
                      CASE WHEN nullbox THEN NULL ELSE gx1 + s END AS x2,
                      CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
-              FROM base WHERE pk % 11 <> 0
-            ), pr AS (
-              SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
-                        ORDER BY coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rnk
-              FROM pred
-            ), gr AS (
-              SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
-                        ORDER BY coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rnk
-              FROM gold
+              FROM sbase WHERE pk % 11 <> 0
+            ), prep AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
+                  ORDER BY CASE WHEN x1 IS NULL THEN -1
+                                ELSE greatest(x2 - x1, 0) * greatest(y2 - y1, 0) END DESC,
+                           coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rn
+                FROM pred) WHERE rn = 1
+            ), grep AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
+                  ORDER BY CASE WHEN x1 IS NULL THEN -1
+                                ELSE greatest(x2 - x1, 0) * greatest(y2 - y1, 0) END DESC,
+                           coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rn
+                FROM gold) WHERE rn = 1
             ), m AS (
-              SELECT doc_key
-              FROM pr JOIN gr USING (doc_key, name, label)
-              WHERE pr.rnk = gr.rnk AND (
-                (pr.x1 IS NULL AND gr.x1 IS NULL)
-                OR (pr.x1 IS NOT NULL AND gr.x1 IS NOT NULL AND
-                    3.0 * (greatest(least(pr.x2, gr.x2) - greatest(pr.x1, gr.x1), 0)
-                           * greatest(least(pr.y2, gr.y2) - greatest(pr.y1, gr.y1), 0))
-                    > CAST(greatest(pr.x2 - pr.x1, 0) * greatest(pr.y2 - pr.y1, 0)
-                           + greatest(gr.x2 - gr.x1, 0) * greatest(gr.y2 - gr.y1, 0) AS DOUBLE))
-              )
+              SELECT pr.doc_key
+              FROM prep pr JOIN grep gr USING (doc_key, name, label)
+              WHERE (pr.x1 IS NULL AND gr.x1 IS NULL)
+                 OR (pr.x1 IS NOT NULL AND gr.x1 IS NOT NULL AND
+                     3.0 * (greatest(least(pr.x2, gr.x2) - greatest(pr.x1, gr.x1), 0)
+                            * greatest(least(pr.y2, gr.y2) - greatest(pr.y1, gr.y1), 0))
+                     > CAST(greatest(pr.x2 - pr.x1, 0) * greatest(pr.y2 - pr.y1, 0)
+                            + greatest(gr.x2 - gr.x1, 0) * greatest(gr.y2 - gr.y1, 0) AS DOUBLE))
             ), per_doc AS (
               SELECT d.doc_key,
                      coalesce(p.n, 0) AS n_pred,
@@ -1272,8 +1350,8 @@ def oracle_sql() -> dict[str, str]:
                      coalesce(mm.n, 0) AS n_match
               FROM (SELECT DISTINCT doc_key FROM pred
                     UNION SELECT DISTINCT doc_key FROM gold) d
-              LEFT JOIN (SELECT doc_key, count(*) AS n FROM pred GROUP BY 1) p USING (doc_key)
-              LEFT JOIN (SELECT doc_key, count(*) AS n FROM gold GROUP BY 1) g USING (doc_key)
+              LEFT JOIN (SELECT doc_key, count(*) AS n FROM prep GROUP BY 1) p USING (doc_key)
+              LEFT JOIN (SELECT doc_key, count(*) AS n FROM grep GROUP BY 1) g USING (doc_key)
               LEFT JOIN (SELECT doc_key, count(*) AS n FROM m GROUP BY 1) mm USING (doc_key)
             )
             SELECT CAST(sum(CASE WHEN n_match = n_gold AND n_match = n_pred THEN 1 ELSE 0 END) AS BIGINT) AS correct_samples,

@@ -6,9 +6,16 @@ Reproduced exactly (SURVEY.md §2.4 J2-J4, §2.5 A2-A7, §3 EP3):
   is an empty set (judge_entity.py:47-48 ``pred_data.get(id, [])``).
 * an entity matches iff (name, label) are equal AND the boxes agree:
   both null, or IoU > 0.5 (judge_entity.py:80-105, threshold at :96).
-* greedy 1-1 matching (matched-gold bitmap, text_panduan.py:119-139) becomes
-  a rank-equality join: row_number both sides within (doc, name, label,
-  box-compatibility) and match rank-to-rank.
+* greedy 1-1 matching (matched-gold bitmap, text_panduan.py:119-139) is
+  reproduced exactly: agreement pairs are ranked deterministically on both
+  sides, then a JVM-side ``aggregate`` fold walks the pairs in (pred rank,
+  gold rank) order and keeps a pair iff neither side is already matched —
+  precisely the reference's "first unmatched gold wins" bitmap loop.  (The
+  round-1 rank-equality join under-counted cross-arranged pairs: preds
+  [A',B'] vs golds [B,A] greedy-match 2 TPs but rank-equality found 0.)
+  The only divergence from the reference is the iteration order: the
+  reference walks original list order, which the relational frames don't
+  carry; we canonicalize to coordinate order on both sides.
 * micro P/R/F1 counters: P = TP/|pred|, R = TP/|gold|
   (judge_entity.py:123-125); per-label breakdown (text_panduan.py:131-169).
 * max-area representative matching (judge_song.py:49-68): keep the max-area
@@ -34,56 +41,122 @@ def _boxes_agree(pred_bnd, gold_bnd):
     return both_null | (both_set & (iou(pred_bnd, gold_bnd) > IOU_THRESHOLD))
 
 
+def _rank_order(prefix: str):
+    return [
+        F.coalesce(F.col(f"{prefix}.{c}"), F.lit(-1))
+        for c in ("xmin", "ymin", "xmax", "ymax")
+    ]
+
+
 def matched_pairs(pred: DataFrame, gold: DataFrame) -> DataFrame:
-    """Greedy 1-1 matched (pred, gold) pairs under the reference's rule.
+    """Greedy 1-1 matched (pred, gold) pairs under the reference's rule
+    (matched-gold bitmap loop, text_panduan.py:119-139; judge_entity.py:68-105).
 
-    Join on (doc_key, name, label), filter box agreement, then enforce 1-1
-    via row_number on both sides (deterministic order: begin of box coords,
-    then arbitrary-but-stable hash) and rank equality — the relational
-    equivalent of the matched-gold bitmap loop (text_panduan.py:119-139).
+    Plan: rank both sides deterministically within (doc_key, name, label) by
+    box coordinates; equi-join and keep box-agreeing (p_rank, g_rank) pairs;
+    collect each group's pairs sorted lexicographically and fold them with a
+    built-in ``aggregate`` expression that keeps a pair iff neither rank has
+    matched yet — pred ranks are visited in order and each takes the lowest
+    unmatched agreeing gold, exactly the reference's greedy semantics.  The
+    fold runs JVM-side (no Python); groups are per-(doc, entity) and tiny, so
+    the O(k²) membership scans are negligible and the only shuffle is the
+    groupBy on the join keys.
+
+    Returns (doc_key, name, label, p_rank, g_rank).
     """
-    def _rank_order(prefix: str):
-        return [
-            F.coalesce(F.col(f"{prefix}.{c}"), F.lit(-1))
-            for c in ("xmin", "ymin", "xmax", "ymax")
-        ]
-
+    keys = ["doc_key", "name", "label"]
     p = pred.select(
-        "doc_key", "name", "label", F.col("bnd").alias("p_bnd")
+        *keys, F.col("bnd").alias("p_bnd")
     ).withColumn(
         "p_rank",
         F.row_number().over(
-            Window.partitionBy("doc_key", "name", "label").orderBy(*_rank_order("p_bnd"))
+            Window.partitionBy(*keys).orderBy(*_rank_order("p_bnd"))
         ),
     )
     g = gold.select(
-        "doc_key", "name", "label", F.col("bnd").alias("g_bnd")
+        *keys, F.col("bnd").alias("g_bnd")
     ).withColumn(
         "g_rank",
         F.row_number().over(
-            Window.partitionBy("doc_key", "name", "label").orderBy(*_rank_order("g_bnd"))
+            Window.partitionBy(*keys).orderBy(*_rank_order("g_bnd"))
         ),
     )
-    return (
-        p.join(g, ["doc_key", "name", "label"])
+    agree = (
+        p.join(g, keys)
         .where(_boxes_agree(F.col("p_bnd"), F.col("g_bnd")))
-        .where(F.col("p_rank") == F.col("g_rank"))
+        .select(*keys, "p_rank", "g_rank")
     )
+    pairs = agree.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(F.struct("p_rank", "g_rank"))).alias("_prs")
+    )
+    init = F.struct(
+        F.array().cast("array<int>").alias("mp"),
+        F.array().cast("array<int>").alias("mg"),
+        F.array().cast("array<struct<p_rank:int,g_rank:int>>").alias("out"),
+    )
+
+    def _greedy_step(acc, pair):
+        free = ~F.array_contains(acc["mp"], pair["p_rank"]) & ~F.array_contains(
+            acc["mg"], pair["g_rank"]
+        )
+        return F.when(
+            free,
+            F.struct(
+                F.array_append(acc["mp"], pair["p_rank"]).alias("mp"),
+                F.array_append(acc["mg"], pair["g_rank"]).alias("mg"),
+                F.array_append(acc["out"], pair).alias("out"),
+            ),
+        ).otherwise(acc)
+
+    return pairs.select(
+        *keys,
+        F.explode(F.aggregate("_prs", init, _greedy_step)["out"]).alias("_m"),
+    ).select(*keys, F.col("_m.p_rank").alias("p_rank"), F.col("_m.g_rank").alias("g_rank"))
 
 
 def micro_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """One-row frame (tp, pred_total, gold_total, precision, recall, f1) —
-    counter definitions from judge_entity.py:123-125."""
-    tp = matched_pairs(pred, gold).count()
-    pred_total = pred.count()
-    gold_total = gold.count()
-    spark = pred.sparkSession
-    p = tp / pred_total if pred_total else 0.0
-    r = tp / gold_total if gold_total else 0.0
-    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
-    return spark.createDataFrame(
-        [(tp, pred_total, gold_total, float(p), float(r), float(f1))],
-        ["tp", "pred_total", "gold_total", "precision", "recall", "f1"],
+    counter definitions from judge_entity.py:123-125.
+
+    Single lazy aggregation (one Spark job on collect): pred / gold / matched
+    rows are tagged and unioned, then summed once — the round-1 version drove
+    three separate count() actions and re-ran the matched-pairs lineage.
+    """
+    def _tag(df: DataFrame, p: int, g: int, m: int) -> DataFrame:
+        return df.select(
+            F.lit(p).alias("_p"), F.lit(g).alias("_g"), F.lit(m).alias("_m")
+        )
+
+    tagged = (
+        _tag(pred, 1, 0, 0)
+        .unionByName(_tag(gold, 0, 1, 0))
+        .unionByName(_tag(matched_pairs(pred, gold), 0, 0, 1))
+    )
+    counts = tagged.agg(
+        F.coalesce(F.sum("_m"), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum("_p"), F.lit(0)).alias("pred_total"),
+        F.coalesce(F.sum("_g"), F.lit(0)).alias("gold_total"),
+    )
+    prec = F.when(
+        F.col("pred_total") > 0, F.col("tp") / F.col("pred_total")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("gold_total") > 0, F.col("tp") / F.col("gold_total")
+    ).otherwise(F.lit(0.0))
+    out = counts.select(
+        "tp",
+        "pred_total",
+        "gold_total",
+        prec.alias("precision"),
+        rec.alias("recall"),
+    )
+    return out.withColumn(
+        "f1",
+        F.when(
+            (F.col("precision") + F.col("recall")) > 0,
+            2 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+        ).otherwise(F.lit(0.0)),
     )
 
 
@@ -137,12 +210,19 @@ def sample_accuracy(pred: DataFrame, gold: DataFrame, docs: DataFrame) -> DataFr
 
 
 def max_area_gold(gold: DataFrame) -> DataFrame:
-    """Representative gold box per (doc, name, label): max area wins
-    (judge_song.py:49-68) via ``max_by`` — no window, single aggregation."""
+    """Representative box per (doc, name, label): max area wins
+    (judge_song.py:49-68); null boxes rank as area -1 so a null representative
+    survives only in all-null groups.  Ties break on coordinates via
+    row_number — fully deterministic, so the DuckDB oracle can reproduce the
+    exact row (``max_by`` leaves ties engine-defined)."""
     with_area = gold.withColumn(
         "_area", F.when(F.col("bnd").isNotNull(), area(F.col("bnd"))).otherwise(F.lit(-1))
     )
+    w = Window.partitionBy("doc_key", "name", "label").orderBy(
+        F.col("_area").desc(), *_rank_order("bnd")
+    )
     return (
-        with_area.groupBy("doc_key", "name", "label")
-        .agg(F.max_by("bnd", "_area").alias("bnd"))
+        with_area.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_key", "name", "label", "bnd")
     )

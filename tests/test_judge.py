@@ -65,6 +65,48 @@ def test_greedy_one_to_one(spark):
     assert judge.matched_pairs(pred, gold).count() == 1
 
 
+def test_greedy_survives_rank_shift(spark):
+    """A non-matching pred earlier in coordinate order shifts ranks; the
+    round-1 rank-equality join lost the true match ((p2,g1) has p_rank 2 ≠
+    g_rank 1), the greedy bitmap fold must keep it (ADVICE r01)."""
+    gold = _frame(spark, [("d1", "X", "weapon", _box(5, 5, 15, 15))])
+    pred = _frame(
+        spark,
+        [
+            ("d1", "X", "weapon", _box(0, 0, 2, 2)),    # rank 1, agrees nothing
+            ("d1", "X", "weapon", _box(5, 5, 15, 15)),  # rank 2, exact match
+        ],
+    )
+    m = judge.matched_pairs(pred, gold).collect()
+    assert len(m) == 1
+    assert m[0]["p_rank"] == 2 and m[0]["g_rank"] == 1
+
+
+def test_greedy_cross_arranged_pairs(spark):
+    """Cross-arranged agreement (p1 agrees g1+g2, p2 agrees g1 only): greedy
+    gives p1→g1, p2 unmatched... wait — greedy gives p1 the LOWEST unmatched
+    gold (g1), leaving p2 (which only agrees g1) unmatched → 1 TP; a maximum
+    matching would find 2.  The reference is greedy, not maximum — assert the
+    greedy outcome."""
+    gold = _frame(
+        spark,
+        [
+            ("d1", "X", "weapon", _box(0, 0, 10, 10)),   # g_rank 1
+            ("d1", "X", "weapon", _box(1, 1, 11, 11)),   # g_rank 2
+        ],
+    )
+    pred = _frame(
+        spark,
+        [
+            ("d1", "X", "weapon", _box(0, 0, 10, 10)),   # p_rank 1: agrees both
+            ("d1", "X", "weapon", _box(0, 0, 10, 11)),   # p_rank 2: agrees g1 (IoU 10/11) and g2? IoU((0,0,10,11),(1,1,11,11)) = 81/129 ≈ 0.63 → both!
+        ],
+    )
+    m = {(r["p_rank"], r["g_rank"]) for r in judge.matched_pairs(pred, gold).collect()}
+    # greedy in (p,g) lexicographic order: (1,1) matched, then (2,2)
+    assert m == {(1, 1), (2, 2)}
+
+
 def test_per_label_prf(spark):
     gold = _frame(
         spark,
