@@ -126,18 +126,36 @@ def q_kg_doc_sha(spark, sf_dir):
 
 
 def q_kg_canonical_components(spark, sf_dir):
-    # iterative connected components — non-SQL-expressible (rows-only check)
+    """Iterative min-label connected components over the (name ↔ canonical)
+    co-reference edges; oracle = DuckDB recursive-CTE reachability closure
+    (component = min reachable node in string order on both sides)."""
     docs = read_driver_documents(spark, sf_dir)
     linked = kg_mentions(docs, VOCAB_GAZETTEER)
     comp = canonical_clusters(linked)
     return comp.orderBy("node")
 
 
+# surface-form variants planted into the fuzzy-blocking input (round-1
+# review: the vocab aliases share no shingle bands, so the query returned 0
+# rows and proved nothing).  Chosen char-3-shingle Jaccards vs the vocab:
+# ("hash scan","hash scans") = 7/8, ("sort merge","sort merge join") = 8/13
+# ≥ τ; ("vector","vector join") = 4/9 < τ exercises rejection.
+_FUZZY_PLANTED = ["hash scans", "sort merge join", "vector"]
+
+
 def q_kg_fuzzy_blocks(spark, sf_dir):
-    # MinHash/LSH blocking over mention surface forms (rows-only check)
+    """MinHash/LSH fuzzy blocking + exact char-shingle Jaccard verification
+    over mention surface forms.  Oracle: DuckDB computes ALL-pairs exact
+    Jaccard ≥ τ — a recall-property gate: every true pair must survive the
+    banding (verification already makes precision exact)."""
     docs = read_driver_documents(spark, sf_dir)
-    m = kg_mentions(docs, VOCAB_GAZETTEER)
-    return linking.fuzzy_block_candidates(m).orderBy("name_a", "name_b")
+    m = kg_mentions(docs, VOCAB_GAZETTEER).select("name")
+    planted = spark.createDataFrame([(n,) for n in _FUZZY_PLANTED], ["name"])
+    names = m.unionByName(planted).distinct()
+    verified = linking.fuzzy_verify_pairs(names, threshold=0.5)
+    return verified.select(
+        "name_a", "name_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("name_a", "name_b")
 
 
 # ---- relational coverage (SURVEY.md §2.2-2.5 operator mappings) ----------
@@ -378,6 +396,27 @@ def q_dedup_exact_groups(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_verified(spark, sf_dir):
+    """MinHash-LSH candidates verified with exact word-3-gram Jaccard ≥ 0.9.
+
+    Oracle: DuckDB computes the exact all-pairs Jaccard ≥ 0.9 set (25 real
+    near-dup pairs exist in the driver corpus) — so this is a FULL recall
+    gate on the banding (4-row bands: P(miss | J=0.9) ≈ 2e-4, deterministic
+    under the fixed xxhash seeds) plus an exact-value check on the verifier.
+    At 100 TB the same composition holds: candidates are linear-ish via
+    bucketing, verification touches candidates only."""
+    d = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_pairs(
+        d, text_col="text", id_col="doc_id", n_hashes=32, n_bands=8
+    )
+    verified = dedup.ngram_jaccard_pairs(
+        d, cands, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.9
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 def q_dedup_minhash_pairs(spark, sf_dir):
     # xxhash64-based — not DuckDB-expressible (rows-only check).
     # 8-row bands → S-curve threshold ≈ 0.84: the driver corpus is a word
@@ -417,19 +456,73 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+# near-duplicate embedding rows planted into the similarity queries (round-1
+# review: no real pair reaches cosine 0.8, so both queries returned 0 rows).
+# Small-integer components keep every dot/norm exact in double on both
+# engines; the three colinear pairs (cos = 1) are guaranteed to share every
+# hyperplane sign bucket, so the LSH near-dup path has provable recall 1 at
+# threshold 0.995 on this data.
+_EMB_DIM = 64
+
+
+def _emb_planted_rows() -> list[tuple[int, list[float]]]:
+    def vec(*head: float) -> list[float]:
+        return list(head) + [0.0] * (_EMB_DIM - len(head))
+
+    return [
+        (900001, vec(1.0)),        # ┐ cos = 1
+        (900002, vec(2.0)),        # ┘
+        (900003, vec(3.0, 4.0)),   # ┐ cos = 1
+        (900004, vec(6.0, 8.0)),   # ┘
+        (900005, vec(1.0, 2.0)),   # ┐ cos = 1
+        (900006, vec(2.0, 4.0)),   # ┘
+        (900007, vec(1.0, 3.0)),   # cos 0.98995 vs 5/6, 0.9487 vs 3/4
+    ]
+
+
+def _emb_with_planted(spark, sf_dir):
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    planted = spark.createDataFrame(_emb_planted_rows(), schema)
+    return emb.unionByName(planted)
+
+
+def _emb_planted_values_sql() -> str:
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(str(x) for x in v))
+        for i, v in _emb_planted_rows()
+    )
+    return f"(VALUES {rows}) AS p(vec_id, v)"
+
+
 def q_embedding_neardup(spark, sf_dir):
-    # LSH-blocked — rows-only check (exact SQL pair join would not reproduce
-    # the approximate blocking)
-    emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_neardup_pairs(emb, threshold=0.95).select(
+    """Hyperplane-LSH-blocked near-duplicate pairs at cosine ≥ 0.995.
+
+    Oracle: DuckDB exact all-pairs cosine ≥ 0.995 — a full recall gate on the
+    sign-sketch blocking (the qualifying pairs are exactly colinear, so their
+    sketches are identical by construction; sub-threshold pairs are filtered
+    by the exact rescore whether or not they collide)."""
+    emb = _emb_with_planted(spark, sf_dir)
+    return dedup.embedding_neardup_pairs(emb, threshold=0.995).select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     )
 
 
 def q_embedding_cosine_pairs_exact(spark, sf_dir):
-    """Exact cosine pairs over a bounded id range — the oracle-checkable
-    counterpart of the LSH near-dup path."""
-    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    """Exact cosine pairs over a bounded id range plus planted near-dups —
+    the oracle-checkable exact counterpart of the LSH near-dup path."""
+    emb = _emb_with_planted(spark, sf_dir).where(
+        (F.col("vec_id") < 200) | (F.col("vec_id") >= 900000)
+    )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -811,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_simhash": q_dedup_simhash,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -958,6 +1052,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.label <> 'location' AND b.label = 'location'
         """,
         "kg_doc_sha": "SELECT doc_id, sha256(text) AS doc_sha FROM documents",
+        "kg_canonical_components": f"""
+            WITH RECURSIVE e0 AS (
+              SELECT DISTINCT g.alias AS src, g.canonical AS dst
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+            ), edges AS (
+              SELECT src AS a, dst AS b FROM e0
+              UNION
+              SELECT dst AS a, src AS b FROM e0
+            ), nodes AS (
+              SELECT DISTINCT a AS node FROM edges
+            ), walk AS (
+              SELECT node, node AS reached FROM nodes
+              UNION
+              SELECT w.node, e.b AS reached
+              FROM walk w JOIN edges e ON e.a = w.reached
+            )
+            SELECT node, min(reached) AS component
+            FROM walk GROUP BY node ORDER BY node
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1173,13 +1287,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
             FROM r WHERE rnk <= 10
         """,
-        "embedding_cosine_pairs_exact": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings WHERE vec_id < 200)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.v, b.v), 4) AS cosine
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+        # cosine written as dot/(sqrt(na)*sqrt(nb)) — structurally identical
+        # to the Spark side (functions/vectors.py) so doubles round the same
+        "embedding_cosine_pairs_exact": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 200
+              UNION ALL
+              SELECT vec_id, v FROM {_emb_planted_values_sql()}
+            ), pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CASE WHEN sqrt(list_inner_product(a.v, a.v))
+                               * sqrt(list_inner_product(b.v, b.v)) > 0
+                          THEN list_inner_product(a.v, b.v)
+                               / (sqrt(list_inner_product(a.v, a.v))
+                                  * sqrt(list_inner_product(b.v, b.v)))
+                          ELSE 0.0 END AS cosine
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cosine, 4) AS cosine
+            FROM pairs WHERE cosine >= 0.8
+        """,
+        "embedding_neardup": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id, v FROM {_emb_planted_values_sql()}
+            ), pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CASE WHEN sqrt(list_inner_product(a.v, a.v))
+                               * sqrt(list_inner_product(b.v, b.v)) > 0
+                          THEN list_inner_product(a.v, b.v)
+                               / (sqrt(list_inner_product(a.v, a.v))
+                                  * sqrt(list_inner_product(b.v, b.v)))
+                          ELSE 0.0 END AS cosine
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cosine, 4) AS cosine
+            FROM pairs WHERE cosine >= 0.995
+        """,
+        "kg_fuzzy_blocks": f"""
+            WITH names AS (
+              SELECT DISTINCT g.alias AS name
+              FROM documents d JOIN {{GAZ}}
+                ON position(g.alias IN d.text) > 0
+              UNION
+              SELECT name FROM (VALUES ('hash scans'), ('sort merge join'),
+                                       ('vector')) v(name)
+            ), sh AS (
+              SELECT name,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(lower(name)) - 1, 2)),
+                       i -> substr(lower(name), CAST(i AS INT), 3))) AS s
+              FROM names
+            ), pairs AS (
+              SELECT a.name AS name_a, b.name AS name_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+              FROM sh a JOIN sh b ON a.name < b.name
+            )
+            SELECT name_a, name_b, round(jaccard, 4) AS jaccard
+            FROM pairs WHERE jaccard >= 0.5
+            ORDER BY name_a, name_b
+        """.replace("{GAZ}", GAZ_SQL),
+        "dedup_minhash_verified": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          ELSE [array_to_string(w, ' ')] END AS s
+              FROM toks
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+            FROM pairs WHERE jaccard >= 0.9
+            ORDER BY id_a, id_b
         """,
         "judge_micro_prf": _judge_sql("""
             , counts AS (

@@ -102,6 +102,26 @@ def shingles(col: Column, n: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """Character n-gram array over the lowercased string (fuzzy name
+    blocking/verification input).  For strings shorter than n, the single
+    (short) string itself is the shingle set."""
+    lowered = F.lower(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(lowered) - n, F.lit(0))),
+            lambda i: lowered.substr(i + F.lit(1), F.lit(n)),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
 def lang_evidence(col: Column, lang: str) -> Column:
     toks = word_tokens(col)
     return F.size(F.filter(toks, lambda t: t.isin(LANG_EVIDENCE[lang])))

@@ -6,19 +6,35 @@ because the LLM emits the surface form and dedup keys on (name, label)
 "F-16" and "Fighting Falcon" both link to ent_f16, and a fuzzy block pairs
 "F16" with "F-16", all three surface forms belong to one component.
 
-Algorithm: iterative min-label propagation (the standard hash-partitioned
-connected-components fixpoint; cf. the small-star/large-star family from the
-"Connected Components in MapReduce and Beyond" line of work — public
-literature).  Each iteration is one shuffle on `node`; the driver loop is
-bounded and checks convergence via an aggregate, and ``localCheckpoint()``
-every few rounds cuts the growing lineage so plans stay small.
+Algorithm: iterative min-label propagation with pointer jumping (path
+doubling) — the standard hash-partitioned connected-components fixpoint from
+the public MapReduce-CC literature.  Round-2 rewrite after the 400 s /
+2.1 M-edge round-1 measurement; the constants changed, not the asymptotics:
 
-Skew (north_rule): hot components (an entity like "Eurofighter" mentioned in a
-large fraction of documents) concentrate edges on one node id.  The expensive
-step is the groupBy(node).min(comp); we salt it two-phase —
-groupBy(node, salt) partial-min then groupBy(node) final-min — so no single
-reducer receives the whole hot key.  (With AQE on, Spark also splits skewed
-partitions at runtime; the salting makes the plan robust even without AQE.)
+* **long node ids.**  Nodes are xxhash64'd once up front; every shuffle and
+  comparison in the loop moves 8-byte longs instead of entity-name strings.
+  (Collision odds at 10^9 nodes ≈ 10^18 pairs / 2^64 ≈ 5%·ε — and a
+  collision only ever MERGES two clusters, never drops a node; final labels
+  are re-derived from the original strings.)
+* **no manual salting.**  The per-round reduction is ``min`` — algebraic, so
+  Spark's partial aggregation combines map-side and a hot hub's edges never
+  land on one reducer.  (Round 1 salted a two-phase min: a full extra
+  shuffle per round that partial aggregation already made redundant.
+  Salting pays for holistic aggregates like collect_list, not for min.)
+* **one aggregate convergence probe, no join.**  Labels are monotonically
+  non-increasing, so the label sum strictly decreases until the fixpoint;
+  comparing sums across rounds replaces round 1's change-detection
+  join+count.  Sum runs over the just-checkpointed comp frame — one tiny
+  job.  (decimal(38,0) accumulator: Spark 4 ANSI mode would overflow a
+  bigint sum of 64-bit labels.)
+* **stable partitioning.**  ``sym`` is hash-partitioned on the join key and
+  localCheckpointed once; ``comp`` is re-partitioned on ``node`` and
+  localCheckpointed every round, so the per-round edge join reuses the
+  existing exchanges and the only full shuffle per round is the
+  groupBy(node) min.
+
+Convergence is O(log diameter) rounds via pointer jumping; each round is
+one join + one partial-aggregated min + one jump join over |V| rows.
 """
 
 from __future__ import annotations
@@ -26,84 +42,101 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_SALT = 16
+DEFAULT_SALT = 16  # kept for signature compatibility; see docstring
 
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iterations: int = 20,
-    salt_buckets: int = DEFAULT_SALT,
-    checkpoint_every: int = 3,
+    max_iterations: int = 50,
+    salt_buckets: int = DEFAULT_SALT,  # noqa: ARG001 — superseded by partial agg
+    checkpoint_every: int = 1,  # noqa: ARG001 — comp is checkpointed every round
 ) -> DataFrame:
     """Edge list (src, dst: string) → (node: string, component: string),
-    component = min node id in the component.
+    component = min node id (string order) in the component.
 
     Driver-side bounded fixpoint (the reference's own retry loop is the same
     shape, reflect_workflow2.py:96-122: bounded driver iteration over
     unresolved work).
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
+    str_edges = (
+        edges.select(F.col(src).alias("sa"), F.col(dst).alias("sb"))
+        .where(F.col("sa").isNotNull() & F.col("sb").isNotNull())
     )
     nodes = (
-        sym.select(F.col("a").alias("node"))
-        .unionByName(sym.select(F.col("b").alias("node")))
+        str_edges.select(F.col("sa").alias("node_str"))
+        .unionByName(str_edges.select(F.col("sb").alias("node_str")))
+        .distinct()
+        .withColumn("node_id", F.xxhash64("node_str"))
+        .localCheckpoint(eager=False)
+    )
+    e = (
+        str_edges.select(
+            F.xxhash64("sa").alias("a"), F.xxhash64("sb").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    # comp starts as self
-    comp = nodes.withColumn("component", F.col("node"))
-    sym = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
-    comp = comp.localCheckpoint(eager=True)
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition("a")
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        nodes.select(F.col("node_id").alias("node"))
+        .withColumn("component", F.col("node"))
+        .repartition("node")
+        .localCheckpoint(eager=True)
+    )
 
-    for it in range(max_iterations):
-        # candidate labels flowing along edges: neighbor's current component
-        neighbor_labels = (
+    prev_sum = None
+    for _ in range(max_iterations):
+        # min neighbor label per node: partial-aggregated min — hub-safe
+        nbr = (
             sym.join(comp.withColumnRenamed("node", "a"), "a")
-            .select(F.col("b").alias("node"), "component")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
         )
-        candidates = comp.unionByName(neighbor_labels)
-        # two-phase salted min: partial min per (node, salt), then final min.
-        salted = candidates.withColumn(
-            "_salt", F.pmod(F.xxhash64("component"), F.lit(salt_buckets))
+        merged = comp.join(nbr, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
         )
-        partial = salted.groupBy("node", "_salt").agg(
-            F.min("component").alias("component")
-        )
-        new_comp = partial.groupBy("node").agg(F.min("component").alias("component"))
-
-        # pointer jumping (path doubling): follow component → component's
-        # component, so convergence is O(log diameter) rounds, not O(diameter)
-        parent = new_comp.select(
+        # pointer jumping: follow component → component's component, so deep
+        # chains converge in O(log diameter) rounds instead of O(diameter)
+        parent = merged.select(
             F.col("node").alias("component"), F.col("component").alias("grand")
         )
-        new_comp = (
-            new_comp.join(parent, "component", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("grand"), F.col("component"))
-                ).alias("component"),
-            )
+        jumped = merged.join(parent, "component", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("grand", F.col("component"))
+            ).alias("component"),
         )
-
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        comp = new_comp
-        if (it + 1) % checkpoint_every == 0:
-            comp = comp.localCheckpoint(eager=True)
-        if changed == 0:
+        comp = jumped.repartition("node").localCheckpoint(eager=True)
+        # labels only ever decrease → the sum strictly decreases until the
+        # fixpoint; a single aggregate over the checkpointed frame replaces
+        # a change-detection join
+        cur_sum = comp.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).first()[0]
+        if cur_sum == prev_sum:
             break
-    return comp
+        prev_sum = cur_sum
+
+    # back to strings: component label = lexicographically-min original
+    # surface form in the component (what the DuckDB oracle computes too)
+    named = nodes.join(comp, nodes.node_id == comp.node).select(
+        "node_str", F.col("component").alias("root_id")
+    )
+    roots = named.groupBy("root_id").agg(
+        F.min("node_str").alias("component")
+    )
+    return named.join(roots, "root_id").select(
+        F.col("node_str").alias("node"), "component"
+    )
 
 
 def canonical_clusters(
