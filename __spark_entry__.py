@@ -758,6 +758,34 @@ def q_judge_sample_accuracy(spark, sf_dir):
     )
 
 
+def q_reflect_retry(spark, sf_dir):
+    """Bounded retry-with-feedback cascade (reference I1, reflect_workflow2
+    .py:96-122) over the extracted mentions, with a deterministic md5-keyed
+    verifier standing in for the VLM count check: pass p resolves a row iff
+    the first hex digit of md5(name ':' p) < '8'.  Rows exhausting 3 passes
+    route to status='fallback' (the reference's API re-extract)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.reflect import (
+        bounded_retry,
+    )
+
+    docs = read_driver_documents(spark, sf_dir)
+    m = (
+        kg_mentions(docs, VOCAB_GAZETTEER)
+        .select(F.col("path").cast("bigint").alias("doc_id"), "name", "label")
+        .distinct()
+    )
+
+    def attempt(df, p):
+        return df.withColumn(
+            "resolved",
+            F.substring(F.md5(F.concat_ws(":", "name", F.lit(str(p)))), 1, 1)
+            < F.lit("8"),
+        )
+
+    out = bounded_retry(m, attempt, max_passes=3)
+    return out.select("doc_id", "name", "label", "attempts", "status")
+
+
 def _song_frames(spark, sf_dir):
     """Eval frames for the max-area-representative judge (judge_song.py:32-107):
     grouped on (doc_key, p_brand, p_type) so groups genuinely hold several
@@ -830,6 +858,46 @@ def q_graph_two_hop(spark, sf_dir):
         .distinct()
     )
     return two_hop
+
+
+def q_graph_k_hop(spark, sf_dir):
+    """Min-hop distances up to k=3 over the undirected co-occurrence graph —
+    bounded iterative frontier expansion (one lazy plan, k-1 joins; each
+    level deduped to distinct pairs so the fan-out stays linear in reachable
+    pairs, not in path count).  Oracle: DuckDB recursive CTE with a depth
+    bound and min(hops) aggregation."""
+    t = _kg_base(spark, sf_dir)
+    co = (
+        t.where(F.col("pred") == "co_occurs_with")
+        .select("subj", "obj")
+        .distinct()
+    )
+    edges = co.unionByName(
+        co.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    ).distinct()
+    k = 3
+    levels = [
+        edges.select(
+            F.col("subj").alias("entity"), F.col("obj").alias("reached")
+        ).withColumn("hops", F.lit(1))
+    ]
+    for h in range(2, k + 1):
+        prev = levels[-1]
+        nxt = (
+            prev.join(edges, prev.reached == edges.subj)
+            .select("entity", F.col("obj").alias("reached"))
+            .distinct()
+            .withColumn("hops", F.lit(h))
+        )
+        levels.append(nxt)
+    acc = levels[0]
+    for lvl in levels[1:]:
+        acc = acc.unionByName(lvl)
+    return (
+        acc.where(F.col("entity") != F.col("reached"))
+        .groupBy("entity", "reached")
+        .agg(F.min("hops").alias("hops"))
+    )
 
 
 def q_events_value_delta(spark, sf_dir):
@@ -924,7 +992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_frequencies": q_entity_frequencies,
         "judge_sample_accuracy": q_judge_sample_accuracy,
         "judge_song_accuracy": q_judge_song_accuracy,
+        "reflect_retry": q_reflect_retry,
         "graph_two_hop": q_graph_two_hop,
+        "graph_k_hop": q_graph_k_hop,
         "events_value_delta": q_events_value_delta,
     }
 
@@ -1552,6 +1622,22 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN n_match = n_gold AND n_match = n_pred THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
             FROM per_doc
         """,
+        "reflect_retry": f"""
+            WITH m AS (
+              SELECT DISTINCT d.doc_id, g.alias AS name, g.label
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+            )
+            SELECT doc_id, name, label,
+                   CASE WHEN substring(md5(name || ':1'), 1, 1) < '8' THEN 1
+                        WHEN substring(md5(name || ':2'), 1, 1) < '8' THEN 2
+                        ELSE 3 END AS attempts,
+                   CASE WHEN substring(md5(name || ':1'), 1, 1) < '8'
+                          OR substring(md5(name || ':2'), 1, 1) < '8'
+                          OR substring(md5(name || ':3'), 1, 1) < '8'
+                        THEN 'resolved' ELSE 'fallback' END AS status
+            FROM m
+        """,
         "graph_two_hop": f"""
             WITH ment AS (
               SELECT DISTINCT d.doc_id, g.canonical
@@ -1567,6 +1653,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.subj AS entity, b.obj AS two_hop
             FROM edges a JOIN edges b ON a.obj = b.subj
             WHERE a.subj <> b.obj
+        """,
+        "graph_k_hop": f"""
+            WITH RECURSIVE ment AS (
+              SELECT DISTINCT d.doc_id, g.canonical
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+              WHERE g.label <> 'location'
+            ), co AS (
+              SELECT DISTINCT a.canonical AS subj, b.canonical AS obj
+              FROM ment a JOIN ment b ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+            ), edges AS (
+              SELECT subj, obj FROM co UNION SELECT obj, subj FROM co
+            ), walk AS (
+              SELECT subj AS entity, obj AS reached, 1 AS hops FROM edges
+              UNION ALL
+              SELECT w.entity, e.obj AS reached, w.hops + 1
+              FROM walk w JOIN edges e ON e.subj = w.reached
+              WHERE w.hops < 3
+            )
+            SELECT entity, reached, min(hops) AS hops
+            FROM walk WHERE entity <> reached
+            GROUP BY entity, reached
         """,
         "entity_frequencies": f"""
             WITH m AS (
