@@ -6,35 +6,37 @@ because the LLM emits the surface form and dedup keys on (name, label)
 "F-16" and "Fighting Falcon" both link to ent_f16, and a fuzzy block pairs
 "F16" with "F-16", all three surface forms belong to one component.
 
-Algorithm: iterative min-label propagation with pointer jumping (path
-doubling) — the standard hash-partitioned connected-components fixpoint from
-the public MapReduce-CC literature.  Round-2 rewrite after the 400 s /
-2.1 M-edge round-1 measurement; the constants changed, not the asymptotics:
+Algorithm: alternating large-star/small-star (the "Connected Components in
+MapReduce and Beyond" two-operation algorithm — public literature), on
+xxhash64 long node ids, with edge-multiset digests for convergence.  Round-2
+rewrite after the 400 s / 2.1 M-edge round-1 measurement; what changed and
+why:
 
+* **true star contraction, not min-value propagation.**  Round 1 propagated
+  min label VALUES with a "pointer jump" through the value — but a min value
+  is not a parent pointer, so coverage grew additively (~+2 hops/round) and
+  a 1000-node chain needed hundreds of rounds.  Large-star/small-star
+  contract the tree structure itself and converge in O(log² n) alternations
+  (~5-10 in practice).
 * **long node ids.**  Nodes are xxhash64'd once up front; every shuffle and
   comparison in the loop moves 8-byte longs instead of entity-name strings.
-  (Collision odds at 10^9 nodes ≈ 10^18 pairs / 2^64 ≈ 5%·ε — and a
-  collision only ever MERGES two clusters, never drops a node; final labels
-  are re-derived from the original strings.)
+  (A collision at realistic node counts is astronomically unlikely and
+  would only MERGE two clusters, never drop a node; final labels are
+  re-derived from the original strings.)
 * **no manual salting.**  The per-round reduction is ``min`` — algebraic, so
   Spark's partial aggregation combines map-side and a hot hub's edges never
   land on one reducer.  (Round 1 salted a two-phase min: a full extra
   shuffle per round that partial aggregation already made redundant.
   Salting pays for holistic aggregates like collect_list, not for min.)
-* **one aggregate convergence probe, no join.**  Labels are monotonically
-  non-increasing, so the label sum strictly decreases until the fixpoint;
-  comparing sums across rounds replaces round 1's change-detection
-  join+count.  Sum runs over the just-checkpointed comp frame — one tiny
-  job.  (decimal(38,0) accumulator: Spark 4 ANSI mode would overflow a
-  bigint sum of 64-bit labels.)
-* **stable partitioning.**  ``sym`` is hash-partitioned on the join key and
-  localCheckpointed once; ``comp`` is re-partitioned on ``node`` and
-  localCheckpointed every round, so the per-round edge join reuses the
-  existing exchanges and the only full shuffle per round is the
-  groupBy(node) min.
-
-Convergence is O(log diameter) rounds via pointer jumping; each round is
-one join + one partial-aggregated min + one jump join over |V| rows.
+* **one aggregate convergence probe, no join.**  The alternation's potential
+  function strictly decreases, so an unchanged (count, xor-hash) digest of
+  the edge multiset IS the fixpoint; round 1 ran a change-detection
+  join+count every round.
+* **plan-stats pinning.**  Loop states are localCheckpointed AND re-wrapped
+  with fresh statistics (plans/parallelism.truncate_plan_stats): Spark
+  carries the origin plan's size estimate through localCheckpoint, and in a
+  join loop that estimate compounds double-exponentially until the driver
+  hangs multiplying million-digit BigIntegers inside stats estimation.
 """
 
 from __future__ import annotations
@@ -42,7 +44,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.parallelism import truncate_plan_stats
+
 DEFAULT_SALT = 16  # kept for signature compatibility; see docstring
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize a loop-state frame AND reset its plan statistics.
+
+    localCheckpoint alone truncates lineage but carries the origin plan's
+    size estimate forward; in this loop that estimate compounds
+    double-exponentially per round until the driver hangs in BigInteger
+    stats arithmetic (see plans.parallelism.truncate_plan_stats)."""
+    return truncate_plan_stats(df.localCheckpoint(eager=True))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: for each node u, connect every strictly-larger neighbor to
+    the minimum of u's closed neighborhood.  Two shuffles (groupBy min +
+    join-back) — deliberately NOT collect_list, so a 100M-degree hub never
+    materializes its neighbor array on one reducer."""
+    g = e.select(F.col("x").alias("u"), F.col("y").alias("v")).unionByName(
+        e.select(F.col("y").alias("u"), F.col("x").alias("v"))
+    )
+    mins = g.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    return (
+        g.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: orient each edge toward its larger endpoint, then connect
+    every smaller neighbor (and u itself) to the minimum neighbor."""
+    g = e.select(
+        F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+    )
+    mins = g.groupBy("u").agg(F.min("v").alias("m"))
+    members = g.join(mins, "u").select(
+        F.col("v").alias("x"), F.col("m").alias("y")
+    )
+    selves = mins.select(F.col("u").alias("x"), F.col("m").alias("y"))
+    return (
+        members.unionByName(selves)
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+    )
 
 
 def connected_components(
@@ -78,53 +129,47 @@ def connected_components(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    sym = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .repartition("a")
-        .localCheckpoint(eager=True)
+    e = _pin(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    )
+
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    verbose = bool(_os.environ.get("SPARK_GRAFT_CC_VERBOSE"))
+    prev_digest = None
+    for _round in range(max_iterations):
+        _t0 = _time.time()
+        e = _pin(_small_star(_large_star(e)))
+        # multiset digest of the edge set: the alternation is monotone (the
+        # potential function of the large/small-star algorithm strictly
+        # decreases), so an unchanged digest IS the fixpoint — one tiny agg
+        # on the pinned frame, no change-detection join
+        digest = tuple(
+            e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("x", "y")), F.lit(0)).alias("h"),
+            ).first()
+        )
+        if verbose:
+            print(
+                f"[cc] round {_round} {_time.time() - _t0:.1f}s digest={digest}",
+                file=_sys.stderr, flush=True,
+            )
+        if digest == prev_digest:
+            break
+        prev_digest = digest
+
+    # fixpoint edges are stars (member -> root); attach isolated nodes back
+    comp = e.groupBy(F.col("x").alias("node")).agg(
+        F.min("y").alias("component")
     )
     comp = (
         nodes.select(F.col("node_id").alias("node"))
-        .withColumn("component", F.col("node"))
-        .repartition("node")
-        .localCheckpoint(eager=True)
+        .join(comp, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
     )
-
-    prev_sum = None
-    for _ in range(max_iterations):
-        # min neighbor label per node: partial-aggregated min — hub-safe
-        nbr = (
-            sym.join(comp.withColumnRenamed("node", "a"), "a")
-            .groupBy(F.col("b").alias("node"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        merged = comp.join(nbr, "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce("nbr_min", F.col("component"))
-            ).alias("component"),
-        )
-        # pointer jumping: follow component → component's component, so deep
-        # chains converge in O(log diameter) rounds instead of O(diameter)
-        parent = merged.select(
-            F.col("node").alias("component"), F.col("component").alias("grand")
-        )
-        jumped = merged.join(parent, "component", "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce("grand", F.col("component"))
-            ).alias("component"),
-        )
-        comp = jumped.repartition("node").localCheckpoint(eager=True)
-        # labels only ever decrease → the sum strictly decreases until the
-        # fixpoint; a single aggregate over the checkpointed frame replaces
-        # a change-detection join
-        cur_sum = comp.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
 
     # back to strings: component label = lexicographically-min original
     # surface form in the component (what the DuckDB oracle computes too)

@@ -14,6 +14,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def truncate_plan_stats(df: DataFrame) -> DataFrame:
+    """Rewrap a (local)checkpointed DataFrame so its logical plan carries
+    fresh default statistics.
+
+    Spark's ``Dataset.localCheckpoint`` truncates the physical lineage but
+    the resulting ``LogicalRDD`` KEEPS the origin plan's estimated stats.
+    In an iterative join loop the size-only estimator multiplies child sizes
+    per join, so the per-round estimate compounds double-exponentially —
+    measured: the BigInteger digit count doubles every round, and by ~12
+    rounds the driver burns minutes in Toom-Cook multiplications inside
+    stats estimation (jstack: SizeInBytesOnlyStatsPlanVisitor.visitJoin).
+    Wrapping the already-materialized InternalRow RDD into a fresh DataFrame
+    resets sizeInBytes to the default and costs nothing at runtime (the RDD
+    is the checkpointed one; this is the same internalCreateDataFrame hook
+    PySpark's own createDataFrame uses).
+    """
+    spark = df.sparkSession
+    jdf = df._jdf  # noqa: SLF001 — no public API resets LogicalRDD stats
+    fresh = spark._jsparkSession.internalCreateDataFrame(  # noqa: SLF001
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(fresh, spark)
+
+
 def scale_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     """Repartition df up to defaultParallelism × multiple if its scan would
     produce fewer splits; otherwise return it unchanged.
