@@ -12,12 +12,14 @@ Reference semantics reproduced (see SURVEY.md §2.2 P1/P2, §2.6 I5):
   (foundation_workflow.py:116-118).
 
 Scale design: the gazetteer ships to executors once (Spark broadcast); the
-Aho-Corasick automaton is built lazily ONCE PER EXECUTOR PROCESS (module-level
-cache keyed by gazetteer fingerprint), not per batch and never per row.  The
-stage is ``mapInPandas`` because fan-out is variable (0..n mentions per doc);
-matching is O(len(content)) per document independent of gazetteer size, so the
-stage scales linearly in input bytes and is embarrassingly parallel — no
-shuffle is introduced.
+matcher is built lazily ONCE PER EXECUTOR PROCESS (module-level cache keyed
+by gazetteer fingerprint), not per batch and never per row.  The stage is
+``mapInArrow`` (round-2 rewrite, was mapInPandas): each Arrow batch is
+matched as ONE concatenated string (C-level str.find / one Aho-Corasick
+pass), per-match doc mapping is numpy, mention columns are assembled with
+vocabulary ``take`` — no per-mention Python tuples, and the provenance
+columns pass through zero-copy.  Matching is O(len(content)) per batch
+independent of gazetteer size, embarrassingly parallel, no shuffle.
 """
 
 from __future__ import annotations
@@ -26,7 +28,8 @@ import hashlib
 from collections import deque
 from collections.abc import Iterator, Sequence
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -36,6 +39,10 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# a control char that never appears in gazetteer aliases: batch texts are
+# joined on it, so no alias match can span two documents
+_BATCH_SEP = "\x1e"
 
 
 class AhoCorasick:
@@ -110,12 +117,35 @@ class _Automaton:
         # with the (canonical, label) fan-out kept alongside.
         alias_to_meta: dict[str, list[tuple[str, str]]] = {}
         for alias, canonical, label in entries:
+            if _BATCH_SEP in alias:
+                raise ValueError("gazetteer aliases may not contain \\x1e")
             alias_to_meta.setdefault(alias, []).append((canonical, label))
         self.patterns = list(alias_to_meta.keys())
         self.meta = [alias_to_meta[a] for a in self.patterns]
         self.lens = [len(a) for a in self.patterns]
         self.use_find = len(self.patterns) <= FIND_SCAN_MAX_PATTERNS
         self.ac = None if self.use_find else AhoCorasick(self.patterns)
+        # flattened meta vocabularies for the columnar batch matcher: one
+        # "meta row" per (alias, canonical, label) triple; per-pattern lists
+        # of meta-row ids drive the ambiguous-alias fan-out
+        self.meta_ids: list[list[int]] = []
+        vocab_name: list[str] = []
+        vocab_label: list[str] = []
+        vocab_canonical: list[str] = []
+        vocab_plen: list[int] = []
+        for alias, metas in zip(self.patterns, self.meta):
+            ids = []
+            for canonical, label in metas:
+                ids.append(len(vocab_name))
+                vocab_name.append(alias)
+                vocab_label.append(label)
+                vocab_canonical.append(canonical)
+                vocab_plen.append(len(alias))
+            self.meta_ids.append(ids)
+        self.vocab_name = pa.array(vocab_name, pa.string())
+        self.vocab_label = pa.array(vocab_label, pa.string())
+        self.vocab_canonical = pa.array(vocab_canonical, pa.string())
+        self.vocab_plen = np.asarray(vocab_plen, dtype=np.int64)
 
     def match(self, text: str) -> Iterator[tuple[int, int, str, str, str]]:
         """Yield (begin, end, alias, canonical, label) for every occurrence."""
@@ -172,6 +202,71 @@ class _Automaton:
         return rows
 
 
+    def match_batch_columns(self, texts: list[str], context_window: int | None):
+        """Columnar whole-batch matcher: all documents of one Arrow batch are
+        joined into one string, each alias is located with C-level str.find
+        (or one Aho-Corasick pass for large dictionaries), and the per-match
+        doc/offset mapping is pure numpy.  No per-mention Python tuples — the
+        interpreter only runs O(aliases + matches) steps per batch instead of
+        O(docs × aliases).
+
+        Returns (meta_ids, begins, counts, contexts):
+        meta-row ids + int32 begins sorted by document, per-document match
+        counts, and context slices (None when context_window is None).
+        """
+        n = len(texts)
+        big = _BATCH_SEP.join(texts)
+        lens = np.fromiter((len(t) + 1 for t in texts), np.int64, count=n)
+        offs = np.zeros(n, np.int64)
+        if n > 1:
+            np.cumsum(lens[:-1], out=offs[1:])
+        mid_chunks: list[np.ndarray] = []
+        pos_chunks: list[np.ndarray] = []
+        if self.use_find:
+            find = big.find
+            for pat_idx, alias in enumerate(self.patterns):
+                pos = []
+                i = find(alias)
+                while i >= 0:
+                    pos.append(i)
+                    i = find(alias, i + 1)
+                if not pos:
+                    continue
+                parr = np.asarray(pos, np.int64)
+                for mid in self.meta_ids[pat_idx]:
+                    mid_chunks.append(np.full(len(parr), mid, np.int64))
+                    pos_chunks.append(parr)
+        else:
+            by_pattern: dict[int, list[int]] = {}
+            for end, pat_idx in self.ac.find(big):
+                by_pattern.setdefault(pat_idx, []).append(end - self.lens[pat_idx])
+            for pat_idx, pos in by_pattern.items():
+                parr = np.asarray(pos, np.int64)
+                for mid in self.meta_ids[pat_idx]:
+                    mid_chunks.append(np.full(len(parr), mid, np.int64))
+                    pos_chunks.append(parr)
+        if not mid_chunks:
+            empty = np.empty(0, np.int64)
+            ctxs = [] if context_window is not None else None
+            return empty, empty.astype(np.int32), np.zeros(n, np.int64), ctxs
+        mid_all = np.concatenate(mid_chunks)
+        pos_all = np.concatenate(pos_chunks)
+        doc_all = np.searchsorted(offs, pos_all, "right") - 1
+        order = np.argsort(doc_all, kind="stable")
+        mid_all, pos_all, doc_all = mid_all[order], pos_all[order], doc_all[order]
+        begins = (pos_all - offs[doc_all]).astype(np.int32)
+        counts = np.bincount(doc_all, minlength=n)
+        ctxs = None
+        if context_window is not None:
+            lo = np.maximum(offs[doc_all], pos_all - context_window)
+            hi = np.minimum(
+                offs[doc_all] + lens[doc_all] - 1,
+                pos_all + self.vocab_plen[mid_all] + context_window,
+            )
+            ctxs = [big[a:b] for a, b in zip(lo.tolist(), hi.tolist())]
+        return mid_all, begins, counts, ctxs
+
+
 # Per-executor-process automaton cache (module global survives across Arrow
 # batches and tasks within one python worker — the setup cost is paid once).
 _AUTOMATON_CACHE: dict[str, _Automaton] = {}
@@ -215,6 +310,82 @@ DOC_MENTIONS_SCHEMA = StructType(
 
 CONTEXT_WINDOW = 40  # chars each side; ≡ P6 deterministic description snippet
 
+_MENTION_PA = pa.struct(
+    [
+        ("name", pa.string()),
+        ("label", pa.string()),
+        ("canonical", pa.string()),
+        ("begin", pa.int32()),
+        ("context", pa.string()),
+    ]
+)
+_OUT_NAMES = ["doc_sha", "repo", "path", "commit", "mentions", "error"]
+
+
+def _mentions_batch(
+    auto: _Automaton, batch: pa.RecordBatch, cw: int | None
+) -> pa.RecordBatch:
+    """One Arrow batch of documents → one Arrow batch of per-doc mention
+    arrays, assembled columnar: mention strings come from vocabulary
+    ``take`` (C++), provenance columns pass through zero-copy, and the only
+    Python-object work is the str.find position loops (plus context slices
+    when requested)."""
+    texts = [t if t is not None else "" for t in batch.column("content").to_pylist()]
+    n = len(texts)
+    try:
+        mids, begins, counts, ctxs = auto.match_batch_columns(texts, cw)
+        idx = pa.array(mids, pa.int64())
+        struct = pa.StructArray.from_arrays(
+            [
+                auto.vocab_name.take(idx),
+                auto.vocab_label.take(idx),
+                auto.vocab_canonical.take(idx),
+                pa.array(begins, pa.int32()),
+                pa.array(ctxs, pa.string())
+                if ctxs is not None
+                else pa.nulls(len(mids), pa.string()),
+            ],
+            fields=list(_MENTION_PA),
+        )
+        offsets = np.zeros(n + 1, np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        mentions = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+        errors = pa.nulls(n, pa.string())
+    except Exception:
+        # I5 row-level containment: isolate the failing document(s) with the
+        # per-doc matcher; failures become (mentions=None, error=str) rows
+        mention_lists: list[list[dict] | None] = []
+        errs: list[str | None] = []
+        for content in texts:
+            try:
+                rows = auto.match_rows(content, cw)
+                mention_lists.append(
+                    [
+                        {
+                            "name": r[0], "label": r[1], "canonical": r[2],
+                            "begin": r[3], "context": r[4],
+                        }
+                        for r in rows
+                    ]
+                )
+                errs.append(None)
+            except Exception as exc:
+                mention_lists.append(None)
+                errs.append(f"{type(exc).__name__}: {exc}")
+        mentions = pa.array(mention_lists, pa.list_(_MENTION_PA))
+        errors = pa.array(errs, pa.string())
+    return pa.RecordBatch.from_arrays(
+        [
+            batch.column("doc_sha"),
+            batch.column("repo"),
+            batch.column("path"),
+            batch.column("commit"),
+            mentions,
+            errors,
+        ],
+        names=_OUT_NAMES,
+    )
+
 
 def extract_mentions(
     docs: DataFrame,
@@ -245,35 +416,17 @@ def extract_mentions(
     key = _gazetteer_fingerprint(entries)
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(entries)
+    cw = context_window if emit_context else None
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         auto = _get_automaton(key, bc.value)
-        for pdf in batches:
-            mention_lists: list[list | None] = []
-            errors: list[str | None] = []
-            cw = context_window if emit_context else None
-            for content in pdf["content"]:
-                try:
-                    mention_lists.append(auto.match_rows(content or "", cw))
-                    errors.append(None)
-                except Exception as exc:  # I5: row-level containment
-                    mention_lists.append(None)
-                    errors.append(f"{type(exc).__name__}: {exc}")
-            yield pd.DataFrame(
-                {
-                    "doc_sha": pdf["doc_sha"],
-                    "repo": pdf["repo"],
-                    "path": pdf["path"],
-                    "commit": pdf["commit"],
-                    "mentions": mention_lists,
-                    "error": errors,
-                }
-            )
+        for batch in batches:
+            yield _mentions_batch(auto, batch, cw)
 
     from ..plans.parallelism import scale_out
 
     needed = scale_out(docs.select("doc_sha", "repo", "path", "commit", "content"))
-    per_doc = needed.mapInPandas(run, schema=DOC_MENTIONS_SCHEMA)
+    per_doc = needed.mapInArrow(run, schema=DOC_MENTIONS_SCHEMA)
     exploded = per_doc.select(
         "doc_sha",
         "repo",
