@@ -434,6 +434,27 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(d, text_col="text", id_col="doc_id").orderBy("id")
 
 
+def q_dedup_simhash_verified(spark, sf_dir):
+    """SimHash 16-bit-band blocking + exact word-3-gram Jaccard ≥ 0.9 — the
+    same recall-property gate as dedup_minhash_verified, over the SimHash
+    candidate generator: the oracle is the exact all-pairs Jaccard set, so a
+    hash match proves the Hamming-band blocking finds every true near-dup in
+    the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    # 8 disjoint 8-bit bands: pigeonhole-guaranteed recall for Hamming ≤ 7
+    # (the corpus' true J≥0.9 pairs measure Hamming ≤ 5); the coarser buckets
+    # cost extra candidates, which the exact verification then discards
+    cands = dedup.simhash_neardup_pairs(
+        d, text_col="text", id_col="doc_id", n_bands=8
+    )
+    verified = dedup.ngram_jaccard_pairs(
+        d, cands, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.9
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 def q_ann_bruteforce(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -974,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_verified": q_dedup_simhash_verified,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
@@ -1341,6 +1363,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS dup_count,
                    array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS dup_ids
             FROM f GROUP BY fingerprint HAVING count(*) > 1
+        """,
+        "dedup_simhash_verified": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          ELSE [array_to_string(w, ' ')] END AS s
+              FROM toks
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+            FROM pairs WHERE jaccard >= 0.9
+            ORDER BY id_a, id_b
         """,
         "ann_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -107,6 +107,12 @@ def lsh_topk(
         probes += [
             F.col("sketch").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
         ]
+    if probe_hamming >= 2:
+        probes += [
+            F.col("sketch").bitwiseXOR(F.lit((1 << a) | (1 << b)))
+            for a in range(n_planes)
+            for b in range(a + 1, n_planes)
+        ]
     q = q.withColumn("bucket", F.explode(F.array(*probes)))
     cand = c.join(F.broadcast(q), "bucket").withColumn(
         "cosine", V.cosine(F.col("cv"), F.col("qv"))

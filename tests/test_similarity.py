@@ -41,10 +41,20 @@ def test_brute_force_topk_matches_numpy(spark):
 def test_lsh_topk_recall(spark):
     emb, queries = _load(spark)
     exact = similarity.brute_force_topk(emb, queries, k=10).collect()
-    approx = similarity.lsh_topk(emb, queries, k=10, n_planes=6, probe_hamming=1).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
-    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
-    recall = len(exact_set & approx_set) / len(exact_set)
-    # every query's own vector must be found (sketch identical)
-    assert all((q, q) in approx_set for q in {r["query_id"] for r in exact})
-    assert recall >= 0.3, recall  # approximate by design; sanity floor
+
+    def recall(h):
+        approx = similarity.lsh_topk(
+            emb, queries, k=10, n_planes=6, probe_hamming=h
+        ).collect()
+        s = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        # every query's own vector must be found (sketch identical)
+        assert all((q, q) in s for q in {r["query_id"] for r in exact})
+        return len(exact_set & s) / len(exact_set)
+
+    r1, r2 = recall(1), recall(2)
+    # deterministic on this data: measured 0.34 / 0.60; floors leave a small
+    # margin, and widening the probe radius must never lose candidates
+    assert r1 >= 0.3, r1
+    assert r2 >= 0.55, r2
+    assert r2 >= r1
