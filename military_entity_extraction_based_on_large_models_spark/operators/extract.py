@@ -387,6 +387,37 @@ def _mentions_batch(
     )
 
 
+def extract_doc_mentions(
+    docs: DataFrame,
+    gazetteer_entries: Sequence[tuple[str, str, str]],
+    context_window: int = CONTEXT_WINDOW,
+    emit_context: bool = True,
+) -> DataFrame:
+    """documents → ONE row per document with its mention array
+    (DOC_MENTIONS_SCHEMA) — the pre-explode form.
+
+    This is the natural unit for per-document consumers (triple
+    materialization reads the per-doc entity set directly from this frame
+    with ZERO shuffles); ``extract_mentions`` is the exploded row view for
+    mention-level consumers (linking, dedup).
+    """
+    entries = [tuple(e) for e in gazetteer_entries]
+    key = _gazetteer_fingerprint(entries)
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(entries)
+    cw = context_window if emit_context else None
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        auto = _get_automaton(key, bc.value)
+        for batch in batches:
+            yield _mentions_batch(auto, batch, cw)
+
+    from ..plans.parallelism import scale_out
+
+    needed = scale_out(docs.select("doc_sha", "repo", "path", "commit", "content"))
+    return needed.mapInArrow(run, schema=DOC_MENTIONS_SCHEMA)
+
+
 def extract_mentions(
     docs: DataFrame,
     gazetteer_entries: Sequence[tuple[str, str, str]],
@@ -412,21 +443,9 @@ def extract_mentions(
     gazetteer has ambiguous aliases) — fewer bytes through Arrow and the
     downstream dedup shuffle.
     """
-    entries = [tuple(e) for e in gazetteer_entries]
-    key = _gazetteer_fingerprint(entries)
-    spark = docs.sparkSession
-    bc = spark.sparkContext.broadcast(entries)
-    cw = context_window if emit_context else None
-
-    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        auto = _get_automaton(key, bc.value)
-        for batch in batches:
-            yield _mentions_batch(auto, batch, cw)
-
-    from ..plans.parallelism import scale_out
-
-    needed = scale_out(docs.select("doc_sha", "repo", "path", "commit", "content"))
-    per_doc = needed.mapInArrow(run, schema=DOC_MENTIONS_SCHEMA)
+    per_doc = extract_doc_mentions(
+        docs, gazetteer_entries, context_window, emit_context
+    )
     exploded = per_doc.select(
         "doc_sha",
         "repo",

@@ -39,28 +39,11 @@ TRIPLE_COLUMNS = ["subj", "pred", "obj", "doc_sha", "repo", "path", "commit"]
 PROV = ["doc_sha", "repo", "path", "commit"]
 
 
-def materialize_triples(linked: DataFrame) -> DataFrame:
-    """Linked, deduped mentions → triple rows (TRIPLE_COLUMNS).
-
-    Input may be raw linked mentions: the per-doc ``collect_set`` enforces
-    (canonical, label, name) set semantics itself (reference D1,
-    reflect_workflow1.py:44-53), so running ``dedup_mentions`` first is
-    NOT required — skipping it saves a full shuffle of the mention table.
-    Error rows (I5) are excluded here."""
-    from .extract import DOC_KEY, with_doc_key
-
-    if "error" in linked.columns:
-        linked = linked.where(F.col("error").isNull())
-    if not set(DOC_KEY) <= set(linked.columns):
-        linked = with_doc_key(linked)
-    per_doc = linked.groupBy(*DOC_KEY).agg(
-        *[F.first(c).alias(c) for c in PROV],
-        F.sort_array(
-            F.collect_set(F.struct("canonical", "label", "name"))
-        ).alias("ents"),
-    )
-
-    ents = F.col("ents")
+def _all_triples_expr(ents):
+    """Sorted-distinct (canonical, label, name) entity array → the full
+    per-document triple array, generated columnar (no per-predicate shuffles:
+    triangular transform for co-occurrence, cross transform for located_in,
+    array_distinct for instance_of)."""
     mentioned_as = F.transform(
         ents,
         lambda e: F.struct(
@@ -129,12 +112,71 @@ def materialize_triples(linked: DataFrame) -> DataFrame:
         )
     )
 
-    all_triples = F.concat(mentioned_as, instance_of, located_in, co_occurs)
+    return F.concat(mentioned_as, instance_of, located_in, co_occurs)
+
+
+def _explode_triples(per_doc: DataFrame, ents) -> DataFrame:
     return per_doc.select(
-        F.explode(all_triples).alias("t"), *PROV
+        F.explode(_all_triples_expr(ents)).alias("t"), *PROV
     ).select(
         F.col("t.subj").alias("subj"),
         F.col("t.pred").alias("pred"),
         F.col("t.obj").alias("obj"),
         *PROV,
     )
+
+
+def materialize_triples(linked: DataFrame) -> DataFrame:
+    """Linked, deduped mention ROWS → triple rows (TRIPLE_COLUMNS).
+
+    Input may be raw linked mentions: the per-doc ``collect_set`` enforces
+    (canonical, label, name) set semantics itself (reference D1,
+    reflect_workflow1.py:44-53), so running ``dedup_mentions`` first is
+    NOT required — skipping it saves a full shuffle of the mention table.
+    Error rows (I5) are excluded here.  Cost: ONE shuffle (the doc-key
+    groupBy).  When mentions never left their per-document arrays, use
+    ``materialize_triples_from_doc_arrays`` instead — zero shuffles."""
+    from .extract import DOC_KEY, with_doc_key
+
+    if "error" in linked.columns:
+        linked = linked.where(F.col("error").isNull())
+    if not set(DOC_KEY) <= set(linked.columns):
+        linked = with_doc_key(linked)
+    per_doc = linked.groupBy(*DOC_KEY).agg(
+        *[F.first(c).alias(c) for c in PROV],
+        F.sort_array(
+            F.collect_set(F.struct("canonical", "label", "name"))
+        ).alias("ents"),
+    )
+    return _explode_triples(per_doc, F.col("ents"))
+
+
+def materialize_triples_from_doc_arrays(per_doc_mentions: DataFrame) -> DataFrame:
+    """Extraction output (one row per document with its mention array,
+    extract.DOC_MENTIONS_SCHEMA) → triple rows, with ZERO shuffles.
+
+    The round-1 plan exploded the arrays into mention rows and immediately
+    re-grouped them by document key — a full shuffle of the mention table
+    whose only purpose was re-assembling what the extraction stage had
+    already produced.  When linking is a passthrough (no ambiguous aliases),
+    the per-doc entity SET is just array_sort(array_distinct(...)) over the
+    mention array: identical semantics to the groupBy collect_set
+    (reference D1 set semantics), evaluated in-place in the projection.
+    The whole flagship pipeline then contains no exchange at all beyond the
+    initial input repartition."""
+    ok = per_doc_mentions.where(
+        F.col("error").isNull() & F.col("mentions").isNotNull()
+    )
+    ents = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.col("mentions"),
+                lambda m: F.struct(
+                    m["canonical"].alias("canonical"),
+                    m["label"].alias("label"),
+                    m["name"].alias("name"),
+                ),
+            )
+        )
+    )
+    return _explode_triples(ok, ents)

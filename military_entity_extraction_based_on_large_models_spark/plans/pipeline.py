@@ -16,9 +16,16 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame
 
 from ..operators.canonicalize import canonical_clusters
-from ..operators.extract import dedup_mentions, extract_mentions
+from ..operators.extract import (
+    dedup_mentions,
+    extract_doc_mentions,
+    extract_mentions,
+)
 from ..operators.linking import link_mentions
-from ..operators.triples import materialize_triples
+from ..operators.triples import (
+    materialize_triples,
+    materialize_triples_from_doc_arrays,
+)
 from ..sources.gazetteer import CONTEXT_TERMS, MILITARY_GAZETTEER
 from . import lineage
 
@@ -43,7 +50,14 @@ def kg_pipeline(
 
         docs = with_doc_sha(docs)
     ambiguous = _ambiguous_names(gazetteer)
-    mentions = extract_mentions(docs, gazetteer, emit_context=bool(ambiguous))
+    if not ambiguous:
+        # zero-shuffle path: the extraction stage already emits one row per
+        # document with its mention array; the per-doc entity set is an
+        # in-place array_distinct, so no explode→regroup round trip and NO
+        # exchange anywhere past the input repartition
+        per_doc = extract_doc_mentions(docs, gazetteer, emit_context=False)
+        return materialize_triples_from_doc_arrays(per_doc)
+    mentions = extract_mentions(docs, gazetteer, emit_context=True)
     linked = link_mentions(mentions, context_terms or CONTEXT_TERMS, ambiguous)
     # no dedup_mentions stage: materialize_triples' per-doc collect_set IS the
     # (name, label) set semantics — one shuffle end-to-end instead of two

@@ -68,6 +68,28 @@ def test_triples_single_shuffle(spark, docs_df):
     assert n_exchanges(triples) == n_exchanges(deduped) + 1
 
 
+def test_flagship_pipeline_zero_shuffle(spark):
+    """With no ambiguous aliases, the whole extract→triples pipeline must
+    contain NO exchange beyond the input repartition: the per-doc mention
+    arrays never leave their partition."""
+    import re
+
+    from military_entity_extraction_based_on_large_models_spark.plans.pipeline import (
+        kg_pipeline,
+    )
+    from military_entity_extraction_based_on_large_models_spark.sources.documents import (
+        read_driver_documents,
+    )
+    from military_entity_extraction_based_on_large_models_spark.sources.gazetteer import (
+        VOCAB_GAZETTEER,
+    )
+
+    docs = read_driver_documents(spark, SF_DIR)
+    triples = kg_pipeline(docs, VOCAB_GAZETTEER, context_terms={})
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", _plan(triples), re.M))
+    assert n_exchanges <= 1  # only the scale_out input repartition
+
+
 def test_whole_stage_codegen_for_text_features(spark):
     from military_entity_extraction_based_on_large_models_spark.functions import (
         text as T,
