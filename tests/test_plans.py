@@ -108,6 +108,43 @@ def test_whole_stage_codegen_for_text_features(spark):
     assert "* Project" in _plan(q)
 
 
+def test_truncate_plan_stats_stops_estimate_compounding(spark):
+    """localCheckpoint keeps the origin plan's size estimate; in an iterative
+    join loop that estimate compounds double-exponentially (digit count
+    doubles per round) until the driver hangs in BigInteger stats math.
+    truncate_plan_stats must keep the estimate bounded."""
+    from pyspark.sql import functions as F
+
+    from military_entity_extraction_based_on_large_models_spark.plans.parallelism import (
+        truncate_plan_stats,
+    )
+
+    def digits(df):
+        return len(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+    comp = (
+        spark.range(100)
+        .select(F.col("id").alias("node"), F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    naive = comp
+    pinned = comp
+    for _ in range(4):
+        def step(df):
+            parent = df.select(
+                F.col("node").alias("component"), F.col("component").alias("grand")
+            )
+            return df.join(parent, "component", "left").select(
+                "node", F.coalesce("grand", "component").alias("component")
+            )
+
+        naive = step(naive).localCheckpoint(eager=True)
+        pinned = truncate_plan_stats(step(pinned).localCheckpoint(eager=True))
+    assert digits(naive) > 2 * digits(pinned)  # compounding reproduced...
+    assert digits(pinned) <= 25                # ...and stopped by the pin
+    assert pinned.count() == 100
+
+
 def test_aggregate_is_partial_then_final(spark):
     """groupBy must plan a map-side partial aggregate before the shuffle."""
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
