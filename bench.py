@@ -159,7 +159,11 @@ def run_scaling_job(sf_dir: str, cpus: int, replicate: int) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        # run each level in its own JVM so executor-thread count is honest
+        # run each level in its own JVM so executor-thread count is honest.
+        # Heap sized like a production executor fleet (48g over the box, not
+        # the 8g test default): with a small heap, GC pauses scale with core
+        # count and asymmetrically tax the high-parallelism level.
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
         replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "256"))
         levels = tuple(
             int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "4,16").split(",")
