@@ -525,6 +525,24 @@ def _emb_planted_values_sql() -> str:
     return f"(VALUES {rows}) AS p(vec_id, v)"
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN with the deterministic orthant quantizer — the only
+    approximate-search path whose approximation the oracle replicates
+    EXACTLY (rank-for-rank), because the quantizer is plain arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, queries, k=10, bits=4, probe_hamming=1
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Hyperplane-LSH-blocked near-duplicate pairs at cosine ≥ 0.995.
 
@@ -997,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_verified": q_dedup_simhash_verified,
         "ann_bruteforce": q_ann_bruteforce,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
         "embedding_cosine_pairs_exact": q_embedding_cosine_pairs_exact,
@@ -1403,6 +1422,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
             FROM r WHERE rnk <= 10
         """,
+        "ann_ivf": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), cells AS (
+              SELECT vec_id, v,
+                     (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS cell
+              FROM e
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv, cell AS qcell
+              FROM cells WHERE vec_id < 5
+            ), probes AS (
+              SELECT query_id, qv, xor(qcell, m.m) AS bucket
+              FROM q CROSS JOIN (VALUES (0), (1), (2), (4), (8)) m(m)
+            ), cand AS (
+              SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+                     CASE WHEN sqrt(list_inner_product(c.v, c.v))
+                               * sqrt(list_inner_product(p.qv, p.qv)) > 0
+                          THEN list_inner_product(c.v, p.qv)
+                               / (sqrt(list_inner_product(c.v, c.v))
+                                  * sqrt(list_inner_product(p.qv, p.qv)))
+                          ELSE 0.0 END AS cosine
+              FROM probes p JOIN cells c ON c.cell = p.bucket
+            ), r AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM cand
+            )
+            SELECT query_id, neighbor_id, round(cosine, 4) AS cosine,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= 10
+        """,
         # cosine written as dot/(sqrt(na)*sqrt(nb)) — structurally identical
         # to the Spark side (functions/vectors.py) so doubles round the same
         "embedding_cosine_pairs_exact": f"""
@@ -1667,6 +1721,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS total_samples,
                    round(CAST(sum(CASE WHEN n_match = n_gold AND n_match = n_pred THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
             FROM per_doc
+        """,
+        # the "decode" is the documented deterministic fake (operators/
+        # multimodal._fake_decode): feats = first two 16-bit words of
+        # sha256(payload) — reproducible in SQL via hex-digit arithmetic
+        "media_features": """
+            WITH h AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     sha256(text) AS payload_sha,
+                     CAST(strlen(text) AS INT) AS n_bytes
+              FROM documents
+            )
+            SELECT media_id, payload_sha, n_bytes,
+                   CAST((strpos('0123456789abcdef', substring(payload_sha,1,1))-1)*4096
+                      + (strpos('0123456789abcdef', substring(payload_sha,2,1))-1)*256
+                      + (strpos('0123456789abcdef', substring(payload_sha,3,1))-1)*16
+                      + (strpos('0123456789abcdef', substring(payload_sha,4,1))-1) AS INT) AS feat_0,
+                   CAST((strpos('0123456789abcdef', substring(payload_sha,5,1))-1)*4096
+                      + (strpos('0123456789abcdef', substring(payload_sha,6,1))-1)*256
+                      + (strpos('0123456789abcdef', substring(payload_sha,7,1))-1)*16
+                      + (strpos('0123456789abcdef', substring(payload_sha,8,1))-1) AS INT) AS feat_1
+            FROM h
         """,
         "reflect_retry": f"""
             WITH m AS (

@@ -79,6 +79,59 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    bits: int = 4,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """IVF-style approximate top-k with a deterministic ORTHANT coarse
+    quantizer: cell id = sign bits of the first ``bits`` components (2^bits
+    inverted lists).  Candidates come from the query's cell plus cells within
+    Hamming distance ``probe_hamming``; exact cosine rescoring inside.
+
+    Unlike the hashed-hyperplane sketch (``lsh_topk``), the quantizer is
+    plain column arithmetic — the whole approximation is exactly
+    reproducible in ANSI SQL, so the driver oracle checks this scale path
+    end-to-end (rank-for-rank), not just its row count.  Scale shape is the
+    IVF standard: the candidate join is equi on the cell id; a trained
+    k-means codebook would slot in as a broadcast centroid table without
+    changing the plan.
+    """
+    def cell(vec):
+        c = F.lit(0)
+        for j in range(bits):
+            c = c + F.when(vec[j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return c
+
+    c = scale_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("bucket", cell(F.col("cv")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("cell", cell(F.col("qv")))
+    probes = [F.col("cell")]
+    if probe_hamming >= 1:
+        probes += [F.col("cell").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]
+    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+    cand = c.join(F.broadcast(q), "bucket").withColumn(
+        "cosine", V.cosine(F.col("cv"), F.col("qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select("query_id", "neighbor_id", "cosine")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -38,6 +38,17 @@ def test_brute_force_topk_matches_numpy(spark):
         assert mine == expected, (q["query_id"], mine, expected)
 
 
+def test_ivf_topk_recall_and_self_hit(spark):
+    emb, queries = _load(spark)
+    exact = similarity.brute_force_topk(emb, queries, k=10).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx = similarity.ivf_topk(emb, queries, k=10, bits=4, probe_hamming=1).collect()
+    s = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert all((q, q) in s for q in {r["query_id"] for r in exact})
+    recall = len(exact_set & s) / len(exact_set)
+    assert recall >= 0.3, recall  # deterministic on this data
+
+
 def test_lsh_topk_recall(spark):
     emb, queries = _load(spark)
     exact = similarity.brute_force_topk(emb, queries, k=10).collect()
