@@ -116,8 +116,16 @@ def _all_triples_expr(ents):
 
 
 def _explode_triples(per_doc: DataFrame, ents) -> DataFrame:
-    return per_doc.select(
-        F.explode(_all_triples_expr(ents)).alias("t"), *PROV
+    """``ents`` (the sorted-distinct entity array expression) is materialized
+    into a REAL column behind a Generate boundary before the triple
+    expression references it: ``_all_triples_expr`` mentions its input ~6
+    times, and higher-order array expressions are neither codegen'd nor
+    common-subexpression-eliminated — inlining the array-building expression
+    would re-evaluate the filter/distinct/sort per reference (measured ~35%
+    slower end-to-end on the expression paths)."""
+    pinned = per_doc.select(*PROV, ents.alias("_ents"))
+    return pinned.select(
+        F.explode(_all_triples_expr(F.col("_ents"))).alias("t"), *PROV
     ).select(
         F.col("t.subj").alias("subj"),
         F.col("t.pred").alias("pred"),
@@ -149,6 +157,44 @@ def materialize_triples(linked: DataFrame) -> DataFrame:
         ).alias("ents"),
     )
     return _explode_triples(per_doc, F.col("ents"))
+
+
+#: above this many distinct aliases the literal containment expression loses
+#: to the Arrow-batched Aho-Corasick stage (O(G·n) scans vs one O(n) pass)
+EXPR_GAZETTEER_MAX = 64
+
+
+def materialize_triples_jvm(
+    docs: DataFrame, gazetteer_entries
+) -> DataFrame:
+    """Whole-stage-codegen flagship path for SMALL gazetteers: the per-doc
+    entity set is ``filter(gazetteer_literal, g -> contains(content,
+    g.name))`` — pure JVM string containment over a literal array, no Python
+    stage, no Arrow transfer, no shuffle.  Semantically identical to the
+    Arrow path's distinct-(canonical, label, name) set: the reference's own
+    post-filter is pure containment (EntityExtractor.py:124-130), and the
+    triple set never uses span positions.
+
+    Containment costs one memchr-style scan per alias per document —
+    unbeatable below ~:data:`EXPR_GAZETTEER_MAX` aliases; past that the
+    Arrow Aho-Corasick stage (one O(n) pass for any dictionary size) wins.
+    """
+    gaz = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("canonical"),
+                F.lit(lb).alias("label"),
+                F.lit(a).alias("name"),
+            )
+            for a, c, lb in gazetteer_entries
+        ]
+    )
+    ents = F.array_sort(
+        F.array_distinct(
+            F.filter(gaz, lambda g: F.contains(F.col("content"), g["name"]))
+        )
+    )
+    return _explode_triples(docs, ents)
 
 
 def materialize_triples_from_doc_arrays(per_doc_mentions: DataFrame) -> DataFrame:

@@ -23,8 +23,10 @@ from ..operators.extract import (
 )
 from ..operators.linking import link_mentions
 from ..operators.triples import (
+    EXPR_GAZETTEER_MAX,
     materialize_triples,
     materialize_triples_from_doc_arrays,
+    materialize_triples_jvm,
 )
 from ..sources.gazetteer import CONTEXT_TERMS, MILITARY_GAZETTEER
 from . import lineage
@@ -51,8 +53,14 @@ def kg_pipeline(
         docs = with_doc_sha(docs)
     ambiguous = _ambiguous_names(gazetteer)
     if not ambiguous:
-        # zero-shuffle path: the extraction stage already emits one row per
-        # document with its mention array; the per-doc entity set is an
+        if len(list(gazetteer)) <= EXPR_GAZETTEER_MAX:
+            # pure-JVM path: small gazetteer → literal containment filter,
+            # whole-stage codegen end-to-end, no Python stage, no shuffle
+            from ..plans.parallelism import scale_out
+
+            return materialize_triples_jvm(scale_out(docs), gazetteer)
+        # zero-shuffle Arrow path: the extraction stage already emits one row
+        # per document with its mention array; the per-doc entity set is an
         # in-place array_distinct, so no explode→regroup round trip and NO
         # exchange anywhere past the input repartition
         per_doc = extract_doc_mentions(docs, gazetteer, emit_context=False)
