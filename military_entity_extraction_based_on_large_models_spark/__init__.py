@@ -10,14 +10,15 @@ Iceberg-shaped table ``documents(repo, path, commit, lang, content)``.
 The reference runs a sequential per-document LLM prompt loop
 (foundation_workflow.py:67); this engine replaces it with:
 
-* ``operators.extract``      — Aho-Corasick gazetteer span matching in a
-                               ``mapInPandas`` Arrow stage (≡ EntityExtractor.py
+* ``operators.extract``      — gazetteer span matching in a ``mapInArrow``
+                               stage: whole-batch C-level find / Aho-Corasick
+                               with columnar assembly (≡ EntityExtractor.py
                                P1 + the containment post-filter P2).
 * ``operators.linking``      — broadcast alias-dictionary candidate generation
                                + deterministic context disambiguation
                                (≡ reflect verification I2 semantics).
-* ``operators.canonicalize`` — iterative connected-components label
-                               propagation (driver-bounded fixpoint).
+* ``operators.canonicalize`` — connected components via alternating
+                               large-star/small-star (driver-bounded fixpoint).
 * ``operators.triples``      — explode to (subj, pred, obj) rows with
                                per-row sha256 lineage (≡ I4/P10/A1).
 * ``operators.judge``        — the reference's judge/*.py P/R/F1 + IoU

@@ -2,7 +2,8 @@
 
 Graph: 1M-node pseudo-random graph (2M edges) + a 100k-spoke hot hub +
 a 1000-node chain — the same shape as the round-1 measurement (400 s at
-pinned local[16] with the salted min-label loop).
+pinned local[16] with the round-1 salted min-label loop; 69 s with the
+round-2 large-star/small-star rewrite).
 
 Run pinned:  taskset -c 0-15 python tools/bench_cc.py 16
 """
