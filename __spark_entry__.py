@@ -2,10 +2,13 @@
 
 ``entry(spark)`` runs the flagship KG-construction pipeline on sf0.001.
 ``queries()`` exposes every implemented operator from SURVEY.md §2 (plus the
-training-data-curation family) over the driver testdata; ``oracle_sql()``
-carries the DuckDB-equivalent SQL for each (omitted only for genuinely
-non-SQL-expressible ops — LSH/minhash/xxhash64-based blocking and iterative
-connected components — which the driver records as rows-only checks).
+training-data-curation family) over the driver testdata — exactly 50 entries,
+the driver's correctness-recording cap (see queries() docstring; overflow
+lives in ``retired_queries()``/``retired_oracle_sql()``, gated by the pytest
+replica).  ``oracle_sql()`` carries the DuckDB-equivalent SQL for each
+(omitted only for genuinely non-SQL-expressible ops — the xxhash64-sketched
+ann_lsh is the single rows-only entry; its recall gate lives in
+tests/test_similarity.py).
 
 Column-naming contract: every computed column is aliased identically in the
 Spark plan and the SQL text; doubles that are *computed* (sums, ratios) are
@@ -543,6 +546,55 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+# fixed IVF codebook (the trained-k-means slot): deterministic quarter-valued
+# centroids so every product is fp-exact and the SQL oracle can re-derive the
+# assignment.  operators/similarity.train_kmeans produces real codebooks (see
+# tests/test_similarity.py); the plan is identical either way — the centroids
+# are plan-side constants.
+_IVF_K = 4
+
+
+def _ivf_centroids() -> list[list[float]]:
+    return [
+        [((7 * i + 3 * j) % 11 - 5) / 4.0 for j in range(_EMB_DIM)]
+        for i in range(_IVF_K)
+    ]
+
+
+def _ivf_centroid_structs_sql(vexpr: str) -> str:
+    """DuckDB expression: the list of {'d': round(−2·v·c + |c|², 6), 'cid': i}
+    structs — byte-identical semantics to similarity._centroid_dists with
+    score_digits=6."""
+    terms = []
+    for cid, c in enumerate(_ivf_centroids()):
+        lits = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        norm2 = repr(float(sum(x * x for x in c)))
+        terms.append(
+            f"{{'d': round(-2.0 * list_inner_product({vexpr}, {lits}) + {norm2}, 6), "
+            f"'cid': {cid}}}"
+        )
+    return "[" + ", ".join(terms) + "]"
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with an explicit centroid codebook (the production shape: a
+    trained k-means table as plan-side constants).  Fixed deterministic
+    centroids here so the oracle replicates the approximation rank-for-rank;
+    swapping in train_kmeans output changes no plan node."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk_centroids(
+        emb, queries, _ivf_centroids(), k=10, nprobe=2, score_digits=6
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Hyperplane-LSH-blocked near-duplicate pairs at cosine ≥ 0.995.
 
@@ -877,6 +929,21 @@ def q_judge_song_accuracy(spark, sf_dir):
     )
 
 
+def q_judge_per_doc_errors(spark, sf_dir):
+    """Per-document error-analysis report (reference S6, judge_entity.py:
+    141-160): sorted correct / incorrect / missed entity lists per document
+    with counts — the diagnostic frame a user debugging extraction quality
+    reads first.  Oracle: the shared recursive-CTE greedy matcher exposes its
+    matched-rank bitmaps (mp/mg); membership tests against them classify
+    every pred/gold row."""
+    from military_entity_extraction_based_on_large_models_spark.operators.judge import (
+        per_doc_errors,
+    )
+
+    pred, gold = _eval_frames(spark, sf_dir)
+    return per_doc_errors(pred, gold)
+
+
 def q_graph_two_hop(spark, sf_dir):
     """Neighborhood expansion over the materialized graph: entities reachable
     from each entity via two co_occurs_with hops (graph-query surface over
@@ -984,6 +1051,20 @@ def q_entity_frequencies(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver records at most 50 correctness rows
+    (CORRECTNESS_r02 captured precisely the first 50 of 52 registered), so
+    the registry is held at the cap and every entry gets a driver row.
+    Retired to stay inside it (operators remain implemented, pytest-covered,
+    and in some cases benched):
+
+    * setops_counts      — relational set-op coverage; pytest replica keeps
+      the oracle pair green (tests/test_entry.py::test_retired_queries).
+    * graph_two_hop      — strictly subsumed by graph_k_hop (hops=1..3).
+    * dedup_minhash_pairs / dedup_simhash — rows-only raw candidate
+      generators; their verified compositions (dedup_*_verified) stay
+      registered WITH full recall-gate oracles and exercise the generators
+      as subplans.  dedup_minhash_pairs remains a bench.py headline entry.
+    """
     return {
         "kg_mentions": q_kg_mentions,
         "kg_instance_of": q_kg_instance_of,
@@ -999,7 +1080,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_order_counts": q_outer_join_order_counts,
         "window_top_customer_per_nation": q_window_top_customer_per_nation,
         "max_by_supplier": q_max_by_supplier,
-        "setops_counts": q_setops_counts,
         "rollup_order_counts": q_rollup_order_counts,
         "iou_part_boxes": q_iou_part_boxes,
         "events_daily": q_events_daily,
@@ -1010,9 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_langid": q_doc_langid,
         "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_minhash_verified": q_dedup_minhash_verified,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_verified": q_dedup_simhash_verified,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
@@ -1034,9 +1112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "judge_sample_accuracy": q_judge_sample_accuracy,
         "judge_song_accuracy": q_judge_song_accuracy,
         "reflect_retry": q_reflect_retry,
-        "graph_two_hop": q_graph_two_hop,
         "graph_k_hop": q_graph_k_hop,
         "events_value_delta": q_events_value_delta,
+        "judge_per_doc_errors": q_judge_per_doc_errors,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
     }
 
 
@@ -1112,7 +1191,9 @@ _JUDGE_PREFIX = """
               FROM st JOIN ap ON ap.doc_key = st.doc_key AND ap.name = st.name
                              AND ap.label = st.label AND ap.idx = st.i + 1
             ), m AS (
-              SELECT st.doc_key, st.name, st.label, st.tp
+              -- final fold state: tp plus the matched-rank bitmaps (mp = pred
+              -- ranks claimed, mg = gold ranks claimed) for per-row membership
+              SELECT st.doc_key, st.name, st.label, st.tp, st.mp, st.mg
               FROM st JOIN (SELECT doc_key, name, label, max(idx) AS n
                             FROM ap GROUP BY 1, 2, 3) z
                 ON st.doc_key = z.doc_key AND st.name = z.name
@@ -1236,21 +1317,6 @@ def oracle_sql() -> dict[str, str]:
                    arg_max(s_name, s_acctbal) AS top_supplier,
                    round(max(s_acctbal), 2) AS max_acctbal
             FROM supplier GROUP BY s_nationkey
-        """,
-        "setops_counts": """
-            SELECT
-              (SELECT count(*) FROM (
-                 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-                 UNION
-                 SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS union_n,
-              (SELECT count(*) FROM (
-                 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-                 INTERSECT
-                 SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS intersect_n,
-              (SELECT count(*) FROM (
-                 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-                 EXCEPT
-                 SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS except_n
         """,
         "rollup_order_counts": """
             SELECT o_orderstatus, o_orderpriority,
@@ -1641,6 +1707,82 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM d GROUP BY user_id
         """,
+        "judge_per_doc_errors": _judge_sql("""
+            , pm AS (
+              SELECT pr.doc_key, pr.name, pr.label,
+                     coalesce(list_contains(m.mp, CAST(pr.rnk AS INT)), FALSE) AS ok
+              FROM pr LEFT JOIN m ON m.doc_key = pr.doc_key
+                                 AND m.name = pr.name AND m.label = pr.label
+            ), gm AS (
+              SELECT gr.doc_key, gr.name, gr.label,
+                     coalesce(list_contains(m.mg, CAST(gr.rnk AS INT)), FALSE) AS ok
+              FROM gr LEFT JOIN m ON m.doc_key = gr.doc_key
+                                 AND m.name = gr.name AND m.label = gr.label
+            ), cagg AS (
+              SELECT doc_key,
+                     array_to_string(list_sort(list(name || '|' || label)), ';') AS correct,
+                     count(*) AS n_correct
+              FROM pm WHERE ok GROUP BY doc_key
+            ), iagg AS (
+              SELECT doc_key,
+                     array_to_string(list_sort(list(name || '|' || label)), ';') AS incorrect,
+                     count(*) AS n_incorrect
+              FROM pm WHERE NOT ok GROUP BY doc_key
+            ), magg AS (
+              SELECT doc_key,
+                     array_to_string(list_sort(list(name || '|' || label)), ';') AS missed,
+                     count(*) AS n_missed
+              FROM gm WHERE NOT ok GROUP BY doc_key
+            ), universe AS (
+              SELECT DISTINCT doc_key FROM (
+                SELECT doc_key FROM pred UNION ALL SELECT doc_key FROM gold)
+            )
+            SELECT u.doc_key,
+                   coalesce(cagg.correct, '') AS correct,
+                   coalesce(iagg.incorrect, '') AS incorrect,
+                   coalesce(magg.missed, '') AS missed,
+                   CAST(coalesce(cagg.n_correct, 0) AS BIGINT) AS n_correct,
+                   CAST(coalesce(iagg.n_incorrect, 0) AS BIGINT) AS n_incorrect,
+                   CAST(coalesce(magg.n_missed, 0) AS BIGINT) AS n_missed
+            FROM universe u
+            LEFT JOIN cagg USING (doc_key)
+            LEFT JOIN iagg USING (doc_key)
+            LEFT JOIN magg USING (doc_key)
+        """),
+        "ann_ivf_kmeans": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), assigned AS (
+              SELECT vec_id, v,
+                     list_sort({_ivf_centroid_structs_sql("v")})[1].cid AS cell
+              FROM e
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv,
+                     list_transform(
+                       list_sort({_ivf_centroid_structs_sql("v")})[1:2],
+                       s -> s.cid) AS probes
+              FROM e WHERE vec_id < 5
+            ), probed AS (
+              SELECT query_id, qv, unnest(probes) AS bucket FROM q
+            ), cand AS (
+              SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+                     CASE WHEN sqrt(list_inner_product(a.v, a.v))
+                               * sqrt(list_inner_product(p.qv, p.qv)) > 0
+                          THEN list_inner_product(a.v, p.qv)
+                               / (sqrt(list_inner_product(a.v, a.v))
+                                  * sqrt(list_inner_product(p.qv, p.qv)))
+                          ELSE 0.0 END AS cosine
+              FROM probed p JOIN assigned a ON a.cell = p.bucket
+            ), r AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM cand
+            )
+            SELECT query_id, neighbor_id, round(cosine, 4) AS cosine,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= 10
+        """,
         "judge_sample_accuracy": _judge_sql("""
             , per_doc AS (
               SELECT d.doc_key,
@@ -1759,22 +1901,6 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'resolved' ELSE 'fallback' END AS status
             FROM m
         """,
-        "graph_two_hop": f"""
-            WITH ment AS (
-              SELECT DISTINCT d.doc_id, g.canonical
-              FROM documents d JOIN {GAZ_SQL}
-                ON position(g.alias IN d.text) > 0
-              WHERE g.label <> 'location'
-            ), co AS (
-              SELECT DISTINCT a.canonical AS subj, b.canonical AS obj
-              FROM ment a JOIN ment b ON a.doc_id = b.doc_id AND a.canonical < b.canonical
-            ), edges AS (
-              SELECT subj, obj FROM co UNION SELECT obj, subj FROM co
-            )
-            SELECT DISTINCT a.subj AS entity, b.obj AS two_hop
-            FROM edges a JOIN edges b ON a.obj = b.subj
-            WHERE a.subj <> b.obj
-        """,
         "graph_k_hop": f"""
             WITH RECURSIVE ment AS (
               SELECT DISTINCT d.doc_id, g.canonical
@@ -1837,5 +1963,57 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT doc_id, name, label FROM f
             WHERE doc_id NOT IN (SELECT doc_id FROM p)
+        """,
+    }
+
+
+# --------------------------------------------------------------------------
+# retired driver entries (registry held at the driver's 50-row recording cap)
+# --------------------------------------------------------------------------
+# Still implemented and verified: the pytest replica (tests/test_entry.py)
+# runs these exactly like registered queries; dedup_minhash_pairs also stays
+# a bench.py headline entry.  See queries()' docstring for the rationale.
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "setops_counts": q_setops_counts,
+        "graph_two_hop": q_graph_two_hop,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+    }
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    return {
+        "setops_counts": """
+            SELECT
+              (SELECT count(*) FROM (
+                 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                 UNION
+                 SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS union_n,
+              (SELECT count(*) FROM (
+                 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                 INTERSECT
+                 SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS intersect_n,
+              (SELECT count(*) FROM (
+                 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                 EXCEPT
+                 SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS except_n
+        """,
+        "graph_two_hop": f"""
+            WITH ment AS (
+              SELECT DISTINCT d.doc_id, g.canonical
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+              WHERE g.label <> 'location'
+            ), co AS (
+              SELECT DISTINCT a.canonical AS subj, b.canonical AS obj
+              FROM ment a JOIN ment b ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+            ), edges AS (
+              SELECT subj, obj FROM co UNION SELECT obj, subj FROM co
+            )
+            SELECT DISTINCT a.subj AS entity, b.obj AS two_hop
+            FROM edges a JOIN edges b ON a.obj = b.subj
+            WHERE a.subj <> b.obj
         """,
     }

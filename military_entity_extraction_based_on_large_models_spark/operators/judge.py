@@ -48,6 +48,33 @@ def _rank_order(prefix: str):
     ]
 
 
+KEYS = ["doc_key", "name", "label"]
+
+
+def _ranked_pred(pred: DataFrame) -> DataFrame:
+    """Pred rows ranked deterministically within (doc_key, name, label) by box
+    coordinates — the shared rank space of matched_pairs and per_doc_errors."""
+    return pred.select(
+        *KEYS, F.col("bnd").alias("p_bnd")
+    ).withColumn(
+        "p_rank",
+        F.row_number().over(
+            Window.partitionBy(*KEYS).orderBy(*_rank_order("p_bnd"))
+        ),
+    )
+
+
+def _ranked_gold(gold: DataFrame) -> DataFrame:
+    return gold.select(
+        *KEYS, F.col("bnd").alias("g_bnd")
+    ).withColumn(
+        "g_rank",
+        F.row_number().over(
+            Window.partitionBy(*KEYS).orderBy(*_rank_order("g_bnd"))
+        ),
+    )
+
+
 def matched_pairs(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """Greedy 1-1 matched (pred, gold) pairs under the reference's rule
     (matched-gold bitmap loop, text_panduan.py:119-139; judge_entity.py:68-105).
@@ -64,23 +91,9 @@ def matched_pairs(pred: DataFrame, gold: DataFrame) -> DataFrame:
 
     Returns (doc_key, name, label, p_rank, g_rank).
     """
-    keys = ["doc_key", "name", "label"]
-    p = pred.select(
-        *keys, F.col("bnd").alias("p_bnd")
-    ).withColumn(
-        "p_rank",
-        F.row_number().over(
-            Window.partitionBy(*keys).orderBy(*_rank_order("p_bnd"))
-        ),
-    )
-    g = gold.select(
-        *keys, F.col("bnd").alias("g_bnd")
-    ).withColumn(
-        "g_rank",
-        F.row_number().over(
-            Window.partitionBy(*keys).orderBy(*_rank_order("g_bnd"))
-        ),
-    )
+    keys = KEYS
+    p = _ranked_pred(pred)
+    g = _ranked_gold(gold)
     agree = (
         p.join(g, keys)
         .where(_boxes_agree(F.col("p_bnd"), F.col("g_bnd")))
@@ -112,6 +125,56 @@ def matched_pairs(pred: DataFrame, gold: DataFrame) -> DataFrame:
         *keys,
         F.explode(F.aggregate("_prs", init, _greedy_step)["out"]).alias("_m"),
     ).select(*keys, F.col("_m.p_rank").alias("p_rank"), F.col("_m.g_rank").alias("g_rank"))
+
+
+def per_doc_errors(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Per-document error-analysis report — the reference's S6 sink
+    (judge_entity.py:141-160: per-doc correct / incorrect / missed entity
+    lists), the first thing a user debugging extraction quality reads.
+
+    For every document in pred ∪ gold:
+
+    * ``correct``   — matched predictions ("name|label", sorted, ';'-joined);
+    * ``incorrect`` — predictions no greedy match claimed (spurious);
+    * ``missed``    — gold entities no prediction matched;
+
+    plus their counts.  Membership is decided by (doc, name, label, rank)
+    semi/anti-joins against ``matched_pairs``, so multiplicity is honored: two
+    identical preds vs one gold yield one correct and one incorrect, exactly
+    as the reference's bitmap loop reports.  Eval-surface query — the greedy
+    fold lineage is referenced by all three branches; Catalyst reuses the
+    exchange, and groups are per-doc tiny.
+    """
+    m = matched_pairs(pred, gold)
+    p = _ranked_pred(pred)
+    g = _ranked_gold(gold)
+    ent = F.concat_ws("|", "name", "label")
+
+    def _agg(df: DataFrame, col: str) -> DataFrame:
+        return df.groupBy("doc_key").agg(
+            F.array_join(F.sort_array(F.collect_list(ent)), ";").alias(col),
+            F.count(F.lit(1)).alias(f"n_{col}"),
+        )
+
+    correct = _agg(p.join(m, [*KEYS, "p_rank"], "left_semi"), "correct")
+    incorrect = _agg(p.join(m, [*KEYS, "p_rank"], "left_anti"), "incorrect")
+    missed = _agg(g.join(m, [*KEYS, "g_rank"], "left_anti"), "missed")
+    docs = (
+        pred.select("doc_key").unionByName(gold.select("doc_key")).distinct()
+    )
+    out = (
+        docs.join(correct, "doc_key", "left")
+        .join(incorrect, "doc_key", "left")
+        .join(missed, "doc_key", "left")
+    )
+    return out.select(
+        "doc_key",
+        *[F.coalesce(c, F.lit("")).alias(c) for c in ("correct", "incorrect", "missed")],
+        *[
+            F.coalesce(f"n_{c}", F.lit(0)).alias(f"n_{c}")
+            for c in ("correct", "incorrect", "missed")
+        ],
+    )
 
 
 def micro_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:

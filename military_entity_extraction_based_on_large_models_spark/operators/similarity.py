@@ -132,6 +132,132 @@ def ivf_topk(
     )
 
 
+def _centroid_dists(vec_col, centroids: list[list[float]], score_digits=None):
+    """Array of (score, cid) structs, one per centroid, where score is the
+    argmin-equivalent L2 surrogate −2·v·c + |c|² (|v|² is constant per row).
+
+    ``score_digits`` optionally rounds the score before comparison: with
+    engines free to reorder fp summation, quantized scores make the argmin
+    (ties → lowest cid) reproducible bit-for-bit across engines — how the
+    driver oracle replicates the assignment in ANSI SQL."""
+    out = []
+    for cid, c in enumerate(centroids):
+        lits = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(vec_col, lits, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        norm2 = float(sum(x * x for x in c))
+        d = F.lit(-2.0) * dot + F.lit(norm2)
+        if score_digits is not None:
+            d = F.round(d, score_digits)
+        out.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+    return F.array(*out)
+
+
+def nearest_cell(vec_col, centroids: list[list[float]], score_digits=None):
+    """Codebook cell id of a vector: argmin centroid distance, ties to the
+    lowest cid (struct ordering compares d then cid)."""
+    return F.array_min(_centroid_dists(vec_col, centroids, score_digits))["cid"]
+
+
+def ivf_topk_centroids(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    score_digits=None,
+) -> DataFrame:
+    """IVF top-k with an explicit centroid codebook (trained k-means or
+    fixed): every corpus vector is assigned to its nearest centroid (the
+    inverted list), each query probes its ``nprobe`` nearest cells, and exact
+    cosine rescoring runs inside the candidate set only.
+
+    Same 100 TB shape as ``ivf_topk``: the candidate join is equi on the cell
+    id, the codebook is a plan-side constant (broadcast-equivalent — the
+    centroid literals ship inside the serialized plan, no join needed to
+    assign), and the only shuffle is the per-query top-k.  With deterministic
+    centroids the whole approximation is reproducible in ANSI SQL
+    (rank-for-rank), which is how the driver oracle checks it
+    (``score_digits`` quantizes the assignment scores for cross-engine
+    reproducibility).
+    """
+    c = scale_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("bucket", nearest_cell(F.col("cv"), centroids, score_digits))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        _centroid_dists(F.col("qv"), centroids, score_digits)
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cid"],
+            )
+        ),
+    )
+    cand = c.join(F.broadcast(q), "bucket").withColumn(
+        "cosine", V.cosine(F.col("cv"), F.col("qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select("query_id", "neighbor_id", "cosine")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def train_kmeans(
+    df: DataFrame,
+    init_centroids: list[list[float]],
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's iterations for the IVF codebook.
+
+    Assignment is the same plan-side ``nearest_cell`` expression the search
+    uses (no join); the update step is one shuffle per iteration —
+    posexplode the vectors and average per (cell, component), then collect
+    the k×dim centroid table (tiny) to the driver.  Empty cells keep their
+    previous centroid.  At 100 TB you train on a sample (``df.sample``)
+    upstream; the returned codebook feeds ``ivf_topk_centroids`` unchanged.
+    """
+    centroids = [list(map(float, c)) for c in init_centroids]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        # two-step select: a Generate (posexplode) in the same projection as
+        # the struct-field access strips the struct's field aliases
+        assigned = df.select(
+            nearest_cell(F.col(vec_col), centroids).alias("cell"),
+            F.col(vec_col).alias("_v"),
+        ).select("cell", F.posexplode("_v").alias("pos", "x"))
+        rows = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]
+        for r in rows:
+            nxt[r["cell"]][r["pos"]] = float(r["m"])
+        assert all(len(c) == dim for c in nxt)
+        centroids = nxt
+    return centroids
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

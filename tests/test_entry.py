@@ -51,8 +51,16 @@ def duck():
     return con
 
 
-ORACLES = entrymod.oracle_sql()
-QUERIES = entrymod.queries()
+# retired entries (driver 50-row cap) stay under the same local gate
+ORACLES = {**entrymod.oracle_sql(), **entrymod.retired_oracle_sql()}
+QUERIES = {**entrymod.queries(), **entrymod.retired_queries()}
+
+
+def test_registry_within_driver_cap():
+    # the driver records at most 50 correctness rows (r02 captured exactly
+    # the first 50 of 52); every registered query must get a row
+    assert len(entrymod.queries()) == 50
+    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
 
 
 def test_entry_smoke(spark):

