@@ -438,7 +438,7 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_simhash_verified(spark, sf_dir):
-    """SimHash 16-bit-band blocking + exact word-3-gram Jaccard ≥ 0.9 — the
+    """SimHash 8-bit-band (n_bands=8) blocking + exact word-3-gram Jaccard ≥ 0.9 — the
     same recall-property gate as dedup_minhash_verified, over the SimHash
     candidate generator: the oracle is the exact all-pairs Jaccard set, so a
     hash match proves the Hamming-band blocking finds every true near-dup in

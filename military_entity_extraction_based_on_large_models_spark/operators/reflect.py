@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 HINT_COL = "reflect_hint"
+# lineage-truncation cadence for callers exceeding the reference's cap of 3:
+# ≤ CHECKPOINT_EVERY passes stay one fully lazy job (no driver-side actions)
+CHECKPOINT_EVERY = 4
 
 
 def bounded_retry(
@@ -44,6 +47,13 @@ def bounded_retry(
     * ``reflect_hint`` (when ``with_hint``) — the accumulated feedback text
       the next pass sees, mirroring the reference's reflect_text prompt
       feedback.
+
+    Plan growth: each pass filters the previous pass's ``attempt`` lineage,
+    so the composed plan grows with the pass count (superlinearly if
+    ``attempt`` joins).  At the reference's cap of 3 the whole cascade stays
+    ONE lazy job; past ``CHECKPOINT_EVERY`` passes the pending slice is
+    localCheckpointed to truncate lineage — callers with max_passes ≫ 3 pay
+    a materialization every few passes instead of an exponential plan.
     """
     if max_passes < 1:
         raise ValueError("max_passes must be >= 1")
@@ -52,6 +62,8 @@ def bounded_retry(
         pending = pending.withColumn(HINT_COL, F.lit(""))
     resolved_parts: list[DataFrame] = []
     for pass_no in range(1, max_passes + 1):
+        if pass_no > 1 and (pass_no - 1) % CHECKPOINT_EVERY == 0:
+            pending = pending.localCheckpoint(eager=True)
         scored = attempt(pending, pass_no)
         resolved_parts.append(
             scored.where(F.col("resolved"))

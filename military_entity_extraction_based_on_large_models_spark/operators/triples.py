@@ -179,6 +179,13 @@ def materialize_triples_jvm(
     unbeatable below ~:data:`EXPR_GAZETTEER_MAX` aliases; past that the
     Arrow Aho-Corasick stage (one O(n) pass for any dictionary size) wins.
     """
+    if not list(gazetteer_entries):
+        # a zero-length F.array() is typed array<void>; the degenerate result
+        # is simply no triples, with the full output schema preserved
+        return docs.where(F.lit(False)).select(
+            *[F.lit(None).cast("string").alias(c) for c in ("subj", "pred", "obj")],
+            *PROV,
+        )
     gaz = F.array(
         *[
             F.struct(

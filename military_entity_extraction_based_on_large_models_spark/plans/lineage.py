@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_DIR = "_lineage"
+_MANIFEST_DDL = (
+    "part_bucket int, doc_count bigint, doc_sha_xor bigint, "
+    "row_count bigint, sha_xor bigint"
+)
 
 
 def with_bucket(df: DataFrame, n_buckets: int, key: str = "doc_sha") -> DataFrame:
@@ -80,52 +84,165 @@ def manifest_for(
     )
 
 
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(fs, Path-class) for the filesystem owning ``path_str`` — works for
+    local, HDFS, and S3A alike (the Hadoop FileSystem API, not os.*)."""
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(path_str).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    return fs, path_cls
+
+
+def _delete_bucket_dirs(spark: SparkSession, data_dir: str, buckets) -> None:
+    fs, path_cls = _hadoop_fs(spark, data_dir)
+    if not fs.exists(path_cls(data_dir)):
+        return
+    for b in buckets:
+        fs.delete(path_cls(f"{data_dir}/part_bucket={b}"), True)
+
+
+def _list_bucket_dirs(spark: SparkSession, data_dir: str) -> set[int]:
+    fs, path_cls = _hadoop_fs(spark, data_dir)
+    base = path_cls(data_dir)
+    if not fs.exists(base):
+        return set()
+    out: set[int] = set()
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if name.startswith("part_bucket="):
+            try:
+                out.add(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return out
+
+
 def write_with_lineage(
     df: DataFrame,
     out_dir: str,
     n_buckets: int = 64,
     key: str = "doc_sha",
     input_docs: DataFrame | None = None,
+    full_input: bool = False,
 ) -> None:
     """Idempotent partitioned write + manifest commit.
 
-    Dynamic partition overwrite makes re-running a subset of buckets safe:
-    only the buckets present in ``df`` are replaced.  ``input_docs`` (the doc
-    slice that produced ``df``) lets the manifest claim completeness for
-    buckets whose docs produced zero output rows; manifest rows for buckets
-    NOT covered by this run are carried over from the previous manifest.
+    With ``input_docs`` (the doc slice that produced ``df``), every bucket
+    the INPUT hashes into is re-committed — including buckets whose docs now
+    produce ZERO output rows (round-2 review: dynamic partition overwrite
+    only replaces buckets present in the output, so a re-processed bucket
+    that went empty kept its stale rows AND had them folded into the fresh
+    manifest digest).  Commit order makes the truncation crash-safe:
+
+    1. drop the covered buckets' rows from the manifest (a crash after the
+       partition delete then leaves them UN-vouched → they re-process on
+       resume, instead of an unchanged-input resume skipping a bucket whose
+       data was deleted);
+    2. truncate every covered partition directory;
+    3. append the new rows (partitions are clean, so append ≡ overwrite);
+    4. commit the full manifest (fresh digests for covered buckets, carried
+       rows for untouched ones).
+
+    ``full_input`` declares ``input_docs`` to be the COMPLETE corpus (not a
+    resume slice): buckets on disk that the input no longer hashes into are
+    deleted and their manifest rows dropped (docs vanished entirely).  Leave
+    it False when writing a ``resume_filter`` slice — untouched buckets must
+    carry over.
+
+    Without ``input_docs`` the legacy dynamic-overwrite path runs (digests
+    derive from the output; zero-output buckets are invisible to it).
     """
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    data_dir = os.path.join(out_dir, "data")
+    manifest_dir = os.path.join(out_dir, MANIFEST_DIR)
     bucketed = with_bucket(df, n_buckets, key)
-    bucketed.write.partitionBy("part_bucket").mode("overwrite").parquet(
-        os.path.join(out_dir, "data")
-    )
-    prev = _read_manifest(spark, out_dir)
+    prev_pinned = _read_manifest(spark, out_dir)  # already memory-pinned
+
+    if input_docs is None:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        bucketed.write.partitionBy("part_bucket").mode("overwrite").parquet(data_dir)
+        written = _read_data(spark, data_dir)
+        if written is None:
+            current = spark.createDataFrame([], _MANIFEST_DDL)
+        else:
+            current = manifest_for(written, key)
+        if prev_pinned is not None:
+            carried = prev_pinned.join(
+                current.select("part_bucket"), "part_bucket", "left_anti"
+            )
+            current = current.unionByName(carried)
+        current.write.mode("overwrite").parquet(manifest_dir)
+        return
+
+    bucketed_input = with_bucket(input_docs, n_buckets, key)
+    # one job over the input: per-bucket digests, collected (≤ n_buckets rows)
+    digest_df = _doc_digest(bucketed_input, key)
+    in_digests = digest_df.collect()
+    covered = sorted(r["part_bucket"] for r in in_digests)
+
+    if prev_pinned is not None:
+        # step 1: un-vouch every covered bucket (kept derives from the pinned
+        # in-memory rows, so writing over the manifest dir is safe)
+        kept = prev_pinned.where(~F.col("part_bucket").isin(covered))
+        kept.write.mode("overwrite").parquet(manifest_dir)
+        prev_pinned = kept
+    stale = set(covered)
+    if full_input:
+        # docs vanished entirely: drop their data AND their manifest rows
+        stale |= _list_bucket_dirs(spark, data_dir) - set(covered)
+        prev_pinned = None
+    _delete_bucket_dirs(spark, data_dir, sorted(stale))
+    bucketed.write.partitionBy("part_bucket").mode("append").parquet(data_dir)
+
     # manifest computed from what was just durably written (not the in-flight
     # frame) so the manifest can never claim more rows than the data dir holds
-    written = spark.read.parquet(os.path.join(out_dir, "data"))
-    bucketed_input = (
-        with_bucket(input_docs, n_buckets, key) if input_docs is not None else None
+    written = _read_data(spark, data_dir)
+    doc_side = spark.createDataFrame(in_digests, digest_df.schema)
+    if written is None:  # every covered bucket went empty; nothing on disk
+        row_side = spark.createDataFrame(
+            [], "part_bucket int, row_count bigint, sha_xor bigint"
+        )
+    else:
+        row_side = written.groupBy("part_bucket").agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.bit_xor(_sha_long(key)).alias("sha_xor"),
+        )
+    current = doc_side.join(row_side, "part_bucket", "left").select(
+        "part_bucket",
+        "doc_count",
+        "doc_sha_xor",
+        F.coalesce("row_count", F.lit(0)).alias("row_count"),
+        F.coalesce("sha_xor", F.lit(0)).alias("sha_xor"),
     )
-    current = manifest_for(written, key, input_docs=bucketed_input)
-    if prev is not None:
-        # pin the previous manifest in memory (tiny: one row per bucket)
-        # before overwriting the directory its lazy plan would read from
-        prev_pinned = spark.createDataFrame(prev.collect(), prev.schema)
+    if prev_pinned is not None:
         carried = prev_pinned.join(
             current.select("part_bucket"), "part_bucket", "left_anti"
         )
         current = current.unionByName(carried)
-    current.write.mode("overwrite").parquet(os.path.join(out_dir, MANIFEST_DIR))
+    current.write.mode("overwrite").parquet(manifest_dir)
+
+
+def _read_data(spark: SparkSession, data_dir: str) -> DataFrame | None:
+    """The written data, or None when nothing has ever produced output rows
+    (an all-empty write leaves no parquet files to infer a schema from)."""
+    try:
+        df = spark.read.parquet(data_dir)
+        df.schema  # force schema inference so an empty dir fails here
+        return df
+    except Exception:
+        return None
 
 
 def _read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Read the manifest PINNED in memory (one row per bucket by design):
+    downstream plans — resume filters, carried-row unions — must not keep
+    lazy references to manifest files that a subsequent commit overwrites."""
     path = os.path.join(out_dir, MANIFEST_DIR)
     try:
         df = spark.read.parquet(path)
-        df.first()  # force schema+read so a half-written dir fails here
-        return df
+        return spark.createDataFrame(df.collect(), df.schema)
     except Exception:
         return None
 

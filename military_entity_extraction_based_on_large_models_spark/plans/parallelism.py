@@ -31,11 +31,24 @@ def truncate_plan_stats(df: DataFrame) -> DataFrame:
     PySpark's own createDataFrame uses).
     """
     spark = df.sparkSession
-    jdf = df._jdf  # noqa: SLF001 — no public API resets LogicalRDD stats
-    fresh = spark._jsparkSession.internalCreateDataFrame(  # noqa: SLF001
-        jdf.queryExecution().toRdd(), jdf.schema(), False
-    )
-    return DataFrame(fresh, spark)
+    try:
+        jdf = df._jdf  # noqa: SLF001 — no public API resets LogicalRDD stats
+        fresh = spark._jsparkSession.internalCreateDataFrame(  # noqa: SLF001
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, spark)
+    except Exception:  # private JVM hook: a Spark minor-version signature
+        # change must degrade to the plain checkpointed frame (correctness
+        # unaffected — only the stats pin is lost), not crash the CC loop
+        import warnings
+
+        warnings.warn(
+            "internalCreateDataFrame hook unavailable; LogicalRDD stats not "
+            "reset — iterative loops may slow down from compounding estimates",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return df
 
 
 def scale_out(df: DataFrame, multiple: int = 1) -> DataFrame:
@@ -48,15 +61,25 @@ def scale_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     the plan, and was flagged in the round-1 review.  File count slightly
     underestimates splits when files exceed maxPartitionBytes — acceptable,
     because the only cost of a false positive is one narrow round-robin
-    exchange.  Frames that are not file scans (post-shuffle intermediates)
-    report no input files and pass through unchanged: they already carry the
-    shuffle partitioning.
+    exchange.  Frames that report NO input files split two ways (ADVICE r02:
+    the pure inputFiles check silently left local relations on 1 partition):
+    in-memory/local-relation inputs (createDataFrame, test or API frames)
+    fall back to the RDD partition count — cheap for a local relation, and
+    the one case where under-parallelism actually bites; post-shuffle
+    intermediates pass through unchanged via the same check, since they
+    already carry ≥ shuffle-partition parallelism.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * multiple
     try:
         n_files = len(df.inputFiles())
     except Exception:
         return df
-    if 0 < n_files < target:
+    if n_files == 0:
+        try:
+            n_parts = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+        return df.repartition(target) if n_parts < target else df
+    if n_files < target:
         return df.repartition(target)
     return df

@@ -101,6 +101,61 @@ def test_resume_detects_new_doc_in_committed_bucket(spark, docs_df, tmp_path):
     assert lineage.resume_filter(grown, out, n_buckets=4).count() == 0
 
 
+def _sha(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def _docs_frame(spark, names):
+    return spark.createDataFrame([(_sha(n), n) for n in names], ["doc_sha", "name"])
+
+
+def _triples_frame(spark, rows):
+    return spark.createDataFrame(
+        [(_sha(d), s) for d, s in rows], ["doc_sha", "subj"]
+    )
+
+
+def test_stale_bucket_truncated_when_output_goes_empty(spark, tmp_path):
+    """ADVICE r02 (medium): a re-processed bucket whose docs now produce ZERO
+    output rows must have its old partition truncated and its manifest row
+    re-committed with row_count=0 — not keep stale rows that the manifest then
+    vouches for."""
+    out = str(tmp_path / "lz")
+    docs = _docs_frame(spark, ["d1", "d2"])
+    t1 = _triples_frame(spark, [("d1", "s1a"), ("d1", "s1b"), ("d2", "s2")])
+    lineage.write_with_lineage(t1, out, n_buckets=4, input_docs=docs)
+    assert spark.read.parquet(out + "/data").count() == 3
+
+    # same input docs, but d1 now emits nothing (content semantics changed)
+    t2 = _triples_frame(spark, [("d2", "s2")])
+    lineage.write_with_lineage(t2, out, n_buckets=4, input_docs=docs)
+    data = spark.read.parquet(out + "/data")
+    assert {r["subj"] for r in data.collect()} == {"s2"}
+    manifest = spark.read.parquet(out + "/_lineage")
+    assert manifest.agg(F.sum("row_count")).first()[0] == 1
+    # the zero-output bucket is still vouched complete: resume skips everything
+    assert lineage.resume_filter(docs, out, n_buckets=4).count() == 0
+
+
+def test_full_input_prunes_vanished_buckets(spark, tmp_path):
+    """full_input=True: buckets whose docs disappeared from the corpus are
+    deleted (data + manifest row) instead of persisting forever."""
+    out = str(tmp_path / "lz2")
+    both = _docs_frame(spark, ["d1", "d2"])
+    t1 = _triples_frame(spark, [("d1", "s1"), ("d2", "s2")])
+    lineage.write_with_lineage(t1, out, n_buckets=4, input_docs=both)
+
+    only_d2 = _docs_frame(spark, ["d2"])
+    t2 = _triples_frame(spark, [("d2", "s2")])
+    lineage.write_with_lineage(t2, out, n_buckets=4, input_docs=only_d2, full_input=True)
+    data = spark.read.parquet(out + "/data")
+    assert {r["subj"] for r in data.collect()} == {"s2"}
+    manifest = spark.read.parquet(out + "/_lineage")
+    assert manifest.agg(F.sum("row_count")).first()[0] == 1
+    assert manifest.agg(F.sum("doc_count")).first()[0] == 1
+    assert lineage.resume_filter(only_d2, out, n_buckets=4).count() == 0
+
+
 def test_linking_keeps_null_name_error_rows(spark):
     """I5 error-containment rows (name NULL) must survive the hot/cold split
     in link_mentions (ADVICE r01: NULL fails both isin branches)."""

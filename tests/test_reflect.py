@@ -45,6 +45,25 @@ def test_never_exceeds_cap(spark):
     assert all(r["status"] == "fallback" and r["attempts"] == 3 for r in out)
 
 
+def test_deep_cascade_bounded_plan(spark):
+    """VERDICT r02: max_passes ≫ 3 with a JOINING attempt (the plan-doubling
+    shape) must complete without lineage blowup — the periodic localCheckpoint
+    truncates pending lineage every CHECKPOINT_EVERY passes."""
+    import time
+
+    side = spark.createDataFrame([("easy", 1), ("medium", 1), ("never", 1)], ["name", "w"])
+
+    def attempt(df, p):
+        # self-compounding lineage: a join per pass
+        joined = df.join(side, "name", "left").drop("w")
+        return joined.withColumn("resolved", F.lit(p) >= 9)
+
+    t0 = time.time()
+    out = bounded_retry(_rows(spark), attempt, max_passes=10).collect()
+    assert time.time() - t0 < 60
+    assert all(r["attempts"] == 9 and r["status"] == "resolved" for r in out)
+
+
 def test_feedback_hint_accumulates(spark):
     # a verifier that only succeeds once it SEES the pass-2 failure feedback —
     # the reflect_text round-trip of the reference
