@@ -74,7 +74,9 @@ def _large_star(e: DataFrame) -> DataFrame:
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("x"), F.col("m").alias("y"))
         .where(F.col("x") != F.col("y"))
-        .distinct()
+        # no distinct here: small_star's min-agg absorbs duplicate edges
+        # map-side (partial aggregation), and its own final distinct is the
+        # round's set boundary — dropping this saved one shuffle per round
     )
 
 
@@ -141,7 +143,13 @@ def connected_components(
     prev_digest = None
     for _round in range(max_iterations):
         _t0 = _time.time()
-        e = _pin(_small_star(_large_star(e)))
+        # LAZY localCheckpoint: the digest agg below is the action that
+        # materializes it, so each round runs ONE job instead of two
+        # (eager-checkpoint + digest) — at 13-task stages the per-job driver/
+        # AQE orchestration was ~40% of local wall time (round-2 review)
+        e = truncate_plan_stats(
+            _small_star(_large_star(e)).localCheckpoint(eager=False)
+        )
         # multiset digest of the edge set: the alternation is monotone (the
         # potential function of the large/small-star algorithm strictly
         # decreases), so an unchanged digest IS the fixpoint — one tiny agg

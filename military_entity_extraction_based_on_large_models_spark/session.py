@@ -49,6 +49,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default skew threshold (256M) never fires on narrow-row graph
+        # workloads: the CC loop's giant-star root concentrates ~1M 16-byte
+        # rows (~16M) in ONE join partition — a 2 s straggler per round while
+        # 15 cores idle.  8M/4M splits it; regular partitions are far smaller
+        # than 4M so nothing else changes.
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        # without force, AQE declines the split whenever the join output's
+        # partitioning could be reused downstream — in this engine join
+        # outputs are re-keyed by the next groupBy anyway, so the trade
+        # (possible extra exchange vs a guaranteed straggler) is always right
+        .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
