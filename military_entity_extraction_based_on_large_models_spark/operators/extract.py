@@ -104,6 +104,34 @@ class AhoCorasick:
 FIND_SCAN_MAX_PATTERNS = 4096
 
 
+def build_alias_meta(
+    entries: Sequence[tuple[str, str, str]],
+) -> dict[str, list[tuple[str, str]]]:
+    """alias -> deduped [(canonical, label), ...] — THE canonical flattening
+    order.  Shared by the executor automaton and the driver-side vocabulary
+    (the dictionary-encoded path joins executor-emitted meta-row ids against
+    a vocab built here, so both sides must enumerate identically)."""
+    alias_to_meta: dict[str, list[tuple[str, str]]] = {}
+    for alias, canonical, label in entries:
+        if _BATCH_SEP in alias:
+            raise ValueError("gazetteer aliases may not contain \\x1e")
+        metas = alias_to_meta.setdefault(alias, [])
+        if (canonical, label) not in metas:  # exact-duplicate entries collapse
+            metas.append((canonical, label))
+    return alias_to_meta
+
+
+def build_vocab(
+    entries: Sequence[tuple[str, str, str]],
+) -> list[tuple[str, str, str]]:
+    """Meta-row id -> (canonical, label, name), in automaton order."""
+    out = []
+    for alias, metas in build_alias_meta(entries).items():
+        for canonical, label in metas:
+            out.append((canonical, label, alias))
+    return out
+
+
 class _Automaton:
     """Executor-side matcher bundle: patterns + (canonical, label) metadata.
 
@@ -115,11 +143,7 @@ class _Automaton:
     def __init__(self, entries: Sequence[tuple[str, str, str]]):
         # entries: (alias, canonical, label); one pattern per distinct alias,
         # with the (canonical, label) fan-out kept alongside.
-        alias_to_meta: dict[str, list[tuple[str, str]]] = {}
-        for alias, canonical, label in entries:
-            if _BATCH_SEP in alias:
-                raise ValueError("gazetteer aliases may not contain \\x1e")
-            alias_to_meta.setdefault(alias, []).append((canonical, label))
+        alias_to_meta = build_alias_meta(entries)
         self.patterns = list(alias_to_meta.keys())
         self.meta = [alias_to_meta[a] for a in self.patterns]
         self.lens = [len(a) for a in self.patterns]
@@ -416,6 +440,105 @@ def extract_doc_mentions(
 
     needed = scale_out(docs.select("doc_sha", "repo", "path", "commit", "content"))
     return needed.mapInArrow(run, schema=DOC_MENTIONS_SCHEMA)
+
+
+DOC_MENTION_IDS_SCHEMA = StructType(
+    [
+        StructField("doc_sha", StringType()),
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("mids", ArrayType(IntegerType())),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _mention_ids_batch(
+    auto: _Automaton, batch: pa.RecordBatch
+) -> pa.RecordBatch:
+    """One Arrow batch of documents → per-doc arrays of DISTINCT meta-row ids
+    (the dictionary-encoded form): the strings never cross the Arrow
+    boundary — 4 bytes per distinct mention instead of three strings.
+    Distinctness is established here with one vectorized np.unique over
+    (doc, mid) pairs, so consumers need no array_distinct."""
+    texts = [t if t is not None else "" for t in batch.column("content").to_pylist()]
+    n = len(texts)
+    nv = len(auto.vocab_plen)
+    try:
+        mids, _begins, counts, _ = auto.match_batch_columns(texts, None)
+        if len(mids):
+            # recover doc ids from counts, unique (doc, mid) pairs in one pass
+            docs_per_match = np.repeat(np.arange(n, dtype=np.int64), counts)
+            uniq = np.unique(docs_per_match * nv + mids)
+            doc_u = uniq // nv
+            mid_u = (uniq % nv).astype(np.int32)
+            counts_u = np.bincount(doc_u, minlength=n)
+        else:
+            mid_u = np.empty(0, np.int32)
+            counts_u = np.zeros(n, np.int64)
+        offsets = np.zeros(n + 1, np.int32)
+        np.cumsum(counts_u, out=offsets[1:])
+        mid_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(mid_u, pa.int32())
+        )
+        errors = pa.nulls(n, pa.string())
+    except Exception:
+        # I5 row-level containment: isolate the failing document(s)
+        per_doc: list[list[int] | None] = []
+        errs: list[str | None] = []
+        for content in texts:
+            try:
+                m, _b, _c, _ = auto.match_batch_columns([content], None)
+                per_doc.append(sorted({int(x) for x in m}))
+                errs.append(None)
+            except Exception as exc:
+                per_doc.append(None)
+                errs.append(f"{type(exc).__name__}: {exc}")
+        mid_list = pa.array(per_doc, pa.list_(pa.int32()))
+        errors = pa.array(errs, pa.string())
+    return pa.RecordBatch.from_arrays(
+        [
+            batch.column("doc_sha"),
+            batch.column("repo"),
+            batch.column("path"),
+            batch.column("commit"),
+            mid_list,
+            errors,
+        ],
+        names=["doc_sha", "repo", "path", "commit", "mids", "error"],
+    )
+
+
+def extract_doc_mention_ids(
+    docs: DataFrame,
+    gazetteer_entries: Sequence[tuple[str, str, str]],
+) -> DataFrame:
+    """documents → one row per document with its DISTINCT mention meta-row id
+    array (DOC_MENTION_IDS_SCHEMA) — the dictionary-encoded extraction form
+    for large dictionaries.
+
+    ``build_vocab(gazetteer_entries)`` decodes ids back to
+    (canonical, label, name) JVM-side (see
+    triples.materialize_triples_from_doc_ids); span positions and context are
+    deliberately absent — this is the entity-SET form the flagship triple
+    path consumes.  Versus ``extract_doc_mentions`` the Arrow payload drops
+    from three strings per occurrence to 4 bytes per distinct mention.
+    """
+    entries = [tuple(e) for e in gazetteer_entries]
+    key = _gazetteer_fingerprint(entries)
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(entries)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        auto = _get_automaton(key, bc.value)
+        for batch in batches:
+            yield _mention_ids_batch(auto, batch)
+
+    from ..plans.parallelism import scale_out
+
+    needed = scale_out(docs.select("doc_sha", "repo", "path", "commit", "content"))
+    return needed.mapInArrow(run, schema=DOC_MENTION_IDS_SCHEMA)
 
 
 def extract_mentions(

@@ -204,6 +204,39 @@ def materialize_triples_jvm(
     return _explode_triples(docs, ents)
 
 
+def materialize_triples_from_doc_ids(
+    per_doc_ids: DataFrame, gazetteer_entries
+) -> DataFrame:
+    """Dictionary-encoded extraction output (extract.DOC_MENTION_IDS_SCHEMA:
+    one row per doc with its DISTINCT mention meta-row ids) → triple rows,
+    zero shuffles.
+
+    The vocabulary rides as ONE broadcast row holding the (canonical, label,
+    name) array in meta-row order (extract.build_vocab); decode is
+    ``element_at`` inside the projection — a BroadcastNestedLoopJoin against
+    a single row, no exchange, no per-row join probe.  The Arrow boundary
+    carried 4-byte ids instead of three strings per mention; the strings are
+    (re)created exactly once per distinct (doc, mention) here on the JVM
+    side.  Semantically identical to materialize_triples_from_doc_arrays:
+    vocab rows are unique (canonical, label, name) triples, so distinct ids
+    ⇔ distinct entity structs, and array_sort after decode reproduces the
+    same sorted entity array."""
+    from .extract import build_vocab
+
+    spark = per_doc_ids.sparkSession
+    vocab = build_vocab(gazetteer_entries)
+    vocab_row = spark.createDataFrame(
+        [(vocab,)],
+        "vocab array<struct<canonical:string,label:string,name:string>>",
+    )
+    ok = per_doc_ids.where(F.col("error").isNull() & F.col("mids").isNotNull())
+    joined = ok.join(F.broadcast(vocab_row))
+    ents = F.array_sort(
+        F.transform(F.col("mids"), lambda m: F.element_at(F.col("vocab"), m + 1))
+    )
+    return _explode_triples(joined, ents)
+
+
 def materialize_triples_from_doc_arrays(per_doc_mentions: DataFrame) -> DataFrame:
     """Extraction output (one row per document with its mention array,
     extract.DOC_MENTIONS_SCHEMA) → triple rows, with ZERO shuffles.

@@ -62,7 +62,15 @@ def kg_pipeline(
         # zero-shuffle Arrow path: the extraction stage already emits one row
         # per document with its mention array; the per-doc entity set is an
         # in-place array_distinct, so no explode→regroup round trip and NO
-        # exchange anywhere past the input repartition
+        # exchange anywhere past the input repartition.
+        # A dictionary-encoded variant exists (extract_doc_mention_ids +
+        # materialize_triples_from_doc_ids: 4-byte ids through Arrow,
+        # broadcast-vocab decode) — measured A/B at pinned 4 cores
+        # (tools/bench_extract_dict.py, 930-alias dict, 16k docs): extraction
+        # alone 1.45 vs 1.51 s, end-to-end 17.3 vs 16.4 s — the round-2
+        # vocabulary-take assembly already removed the string cost, so the
+        # decode join loses more than the payload saves.  Strings stay the
+        # default; the ids path is the opt-in for payload-bound deployments.
         per_doc = extract_doc_mentions(docs, gazetteer, emit_context=False)
         return materialize_triples_from_doc_arrays(per_doc)
     mentions = extract_mentions(docs, gazetteer, emit_context=True)

@@ -101,6 +101,41 @@ def test_resume_detects_new_doc_in_committed_bucket(spark, docs_df, tmp_path):
     assert lineage.resume_filter(grown, out, n_buckets=4).count() == 0
 
 
+def test_dictionary_encoded_ids_path_matches_jvm_path(spark, docs_df):
+    """The dictionary-encoded Arrow path (int meta-row ids through Arrow +
+    broadcast-vocab decode; the payload-bound opt-in alternative to the
+    default strings path) must produce the identical triple set to the
+    literal-containment JVM path on the same gazetteer."""
+    from military_entity_extraction_based_on_large_models_spark.operators.extract import (
+        extract_doc_mention_ids,
+    )
+    from military_entity_extraction_based_on_large_models_spark.operators.triples import (
+        materialize_triples_from_doc_ids,
+        materialize_triples_jvm,
+    )
+    from military_entity_extraction_based_on_large_models_spark.sources.gazetteer import (
+        MILITARY_GAZETTEER,
+    )
+
+    # unambiguous slice of the real gazetteer (ambiguity is the linking
+    # stage's job, not this path's), padded with never-matching aliases
+    seen: dict[str, set] = {}
+    for a, c, _l in MILITARY_GAZETTEER:
+        seen.setdefault(a, set()).add(c)
+    unamb = [e for e in MILITARY_GAZETTEER if len(seen[e[0]]) == 1]
+    gaz = unamb + [(f"zz_unmatchable_{i}", f"ent_zz{i}", "other") for i in range(80)]
+    per_doc = extract_doc_mention_ids(docs_df, gaz)
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["doc_sha"])
+        for r in materialize_triples_from_doc_ids(per_doc, gaz).collect()
+    }
+    want = {
+        (r["subj"], r["pred"], r["obj"], r["doc_sha"])
+        for r in materialize_triples_jvm(docs_df, unamb).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def _sha(s: str) -> str:
     return hashlib.sha256(s.encode()).hexdigest()
 
