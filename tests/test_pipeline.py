@@ -172,6 +172,41 @@ def test_stale_bucket_truncated_when_output_goes_empty(spark, tmp_path):
     assert lineage.resume_filter(docs, out, n_buckets=4).count() == 0
 
 
+def test_crash_window_reprocesses_unvouched_bucket(spark, tmp_path):
+    """The write commits in the order: un-vouch manifest rows → truncate
+    partitions → append data → commit manifest.  Simulate a crash inside the
+    window (bucket truncated, manifest row already dropped, data not yet
+    written): resume must RE-PROCESS that bucket, never skip it."""
+    out = str(tmp_path / "lz3")
+    docs = _docs_frame(spark, ["d1", "d2"])
+    t1 = _triples_frame(spark, [("d1", "s1"), ("d2", "s2")])
+    lineage.write_with_lineage(t1, out, n_buckets=4, input_docs=docs)
+
+    # reproduce the crash state for d1's bucket
+    b1 = lineage.with_bucket(
+        _docs_frame(spark, ["d1"]), 4, key="doc_sha"
+    ).select("part_bucket").first()[0]
+    m = spark.read.parquet(out + "/_lineage")
+    kept = spark.createDataFrame(
+        m.where(F.col("part_bucket") != b1).collect(), m.schema
+    )
+    kept.write.mode("overwrite").parquet(out + "/_lineage")
+    lineage._delete_bucket_dirs(spark, out + "/data", [b1])
+
+    remaining = lineage.resume_filter(docs, out, n_buckets=4)
+    rem_buckets = {r["part_bucket"] for r in remaining.select("part_bucket").distinct().collect()}
+    assert b1 in rem_buckets  # the un-vouched bucket re-opens
+
+    # completing the interrupted run restores the full dataset
+    lineage.write_with_lineage(
+        _triples_frame(spark, [("d1", "s1")]), out, n_buckets=4,
+        input_docs=_docs_frame(spark, ["d1"]),
+    )
+    data = spark.read.parquet(out + "/data")
+    assert {r["subj"] for r in data.collect()} == {"s1", "s2"}
+    assert lineage.resume_filter(docs, out, n_buckets=4).count() == 0
+
+
 def test_full_input_prunes_vanished_buckets(spark, tmp_path):
     """full_input=True: buckets whose docs disappeared from the corpus are
     deleted (data + manifest row) instead of persisting forever."""
