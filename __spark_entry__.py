@@ -5,10 +5,11 @@
 training-data-curation family) over the driver testdata — exactly 50 entries,
 the driver's correctness-recording cap (see queries() docstring; overflow
 lives in ``retired_queries()``/``retired_oracle_sql()``, gated by the pytest
-replica).  ``oracle_sql()`` carries the DuckDB-equivalent SQL for each
-(omitted only for genuinely non-SQL-expressible ops — the xxhash64-sketched
-ann_lsh is the single rows-only entry; its recall gate lives in
-tests/test_similarity.py).
+replica).  ``oracle_sql()`` carries the DuckDB-equivalent SQL for every
+registered query — 50 of 50, including exact rank-for-rank oracles of the
+IVF and LSH approximations themselves (plan-side constant codebooks /
+projection matrices; the xxhash64-sign LSH default keeps its measured
+recall gate in tests/test_similarity.py).
 
 Column-naming contract: every computed column is aliased identically in the
 Spark plan and the SQL text; doubles that are *computed* (sums, ratios) are
@@ -469,14 +470,55 @@ def q_ann_bruteforce(spark, sf_dir):
     )
 
 
+# explicit ±1 hyperplane matrix for the LSH driver query (LCG-seeded,
+# deterministic): with plan-side constant planes the sign sketch is plain
+# arithmetic, so the whole LSH approximation is reproducible in ANSI SQL
+# rank-for-rank — the same device as the IVF centroid codebook.  The
+# xxhash64-sign default stays the zero-setup path; its measured 0.94 recall
+# gate lives in tests/test_similarity.py.
+_LSH_N_PLANES = 6
+
+
+def _lsh_planes() -> list[list[float]]:
+    planes, s = [], 1234567
+    for _k in range(_LSH_N_PLANES):
+        row = []
+        for _j in range(_EMB_DIM):
+            s = (1103515245 * s + 12345) % (1 << 31)
+            row.append(1.0 if (s >> 16) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _lsh_sketch_sql(vexpr: str) -> str:
+    """DuckDB expression for the sign-sketch bucket id under _lsh_planes() —
+    byte-identical semantics to similarity._sketch(planes=..., proj_digits=6)."""
+    terms = []
+    for k, row in enumerate(_lsh_planes()):
+        lits = "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN round(list_inner_product({vexpr}, {lits}), 6) > 0 "
+            f"THEN {1 << k} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def q_ann_lsh(spark, sf_dir):
-    # hyperplane sketch uses xxhash64 — rows-only check
+    """Hyperplane-LSH ANN with an explicit projection matrix (the production
+    shape — deployments ship a real Gaussian/±1 matrix, not hash tricks).
+    Plan identical to the hashed-sign default; the oracle replicates the
+    bucketing, Hamming-1 multi-probe, and rescoring exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_topk(emb, queries, k=10, n_planes=6).select(
-        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+    return similarity.lsh_topk(
+        emb, queries, k=10, planes=_lsh_planes(), proj_digits=6
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
     )
 
 
@@ -1513,6 +1555,36 @@ def oracle_sql() -> dict[str, str]:
                                   * sqrt(list_inner_product(p.qv, p.qv)))
                           ELSE 0.0 END AS cosine
               FROM probes p JOIN cells c ON c.cell = p.bucket
+            ), r AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM cand
+            )
+            SELECT query_id, neighbor_id, round(cosine, 4) AS cosine,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= 10
+        """,
+        "ann_lsh": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), sk AS (
+              SELECT vec_id, v, {_lsh_sketch_sql("v")} AS bucket FROM e
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv, bucket AS qs
+              FROM sk WHERE vec_id < 5
+            ), probes AS (
+              SELECT query_id, qv, xor(qs, m.m) AS bucket
+              FROM q CROSS JOIN (VALUES (0), (1), (2), (4), (8), (16), (32)) m(m)
+            ), cand AS (
+              SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+                     CASE WHEN sqrt(list_inner_product(c.v, c.v))
+                               * sqrt(list_inner_product(p.qv, p.qv)) > 0
+                          THEN list_inner_product(c.v, p.qv)
+                               / (sqrt(list_inner_product(c.v, c.v))
+                                  * sqrt(list_inner_product(p.qv, p.qv)))
+                          ELSE 0.0 END AS cosine
+              FROM probes p JOIN sk c ON c.bucket = p.bucket
             ), r AS (
               SELECT query_id, neighbor_id, cosine,
                      row_number() OVER (PARTITION BY query_id

@@ -31,18 +31,39 @@ def _plane_term(k: int):
     ).otherwise(F.lit(-1.0))
 
 
-def _sketch(vec_col, n_planes: int):
+def _sketch(vec_col, n_planes: int, planes=None, proj_digits=None):
+    """Sign-sketch bucket id of a vector.
+
+    Default: pseudo-planes whose ±1 signs come from xxhash64 — zero setup,
+    but not replicable outside Spark.  With ``planes`` (list of explicit
+    coefficient rows — the production shape: a real Gaussian/±1 projection
+    matrix), the sketch is plain column arithmetic over plan-side constants,
+    exactly reproducible in ANSI SQL; ``proj_digits`` quantizes each
+    projection before the sign test so fp summation order can't flip a
+    near-zero sign across engines (same device as ivf_topk_centroids'
+    ``score_digits``)."""
     sk = F.lit(0)
-    for k in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.sequence(F.lit(0), F.size(vec_col) - 1),
-                _plane_term(k),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    n = len(planes) if planes is not None else n_planes
+    for k in range(n):
+        if planes is not None:
+            lits = F.array(*[F.lit(float(x)) for x in planes[k]])
+            proj = F.aggregate(
+                F.zip_with(vec_col, lits, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        else:
+            proj = F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.sequence(F.lit(0), F.size(vec_col) - 1),
+                    _plane_term(k),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        if proj_digits is not None:
+            proj = F.round(proj, proj_digits)
         sk = sk + F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0))
     return sk
 
@@ -267,6 +288,8 @@ def lsh_topk(
     query_id_col: str = "query_id",
     n_planes: int = 8,
     probe_hamming: int = 1,
+    planes=None,
+    proj_digits=None,
 ) -> DataFrame:
     """Approximate top-k: sign-sketch bucketing + multi-probe (flip up to
     ``probe_hamming`` sketch bits), exact cosine rescoring inside buckets.
@@ -274,13 +297,20 @@ def lsh_topk(
     Recall < 1.0 by construction; the scale win is that the candidate join is
     equi on the bucket id.  Query sketches are exploded into probe buckets
     (1 + n_planes·probe_hamming rows each) and broadcast.
+
+    ``planes`` (optional explicit projection matrix, list of coefficient
+    rows) switches the sketch to plan-side-constant arithmetic — same plan,
+    but the approximation becomes exactly reproducible in ANSI SQL, which is
+    how the driver oracle checks this path rank-for-rank (see ``_sketch``).
     """
+    if planes is not None:
+        n_planes = len(planes)
     c = scale_out(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    ).withColumn("bucket", _sketch(F.col("cv"), n_planes))
+    ).withColumn("bucket", _sketch(F.col("cv"), n_planes, planes, proj_digits))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("sketch", _sketch(F.col("qv"), n_planes))
+    ).withColumn("sketch", _sketch(F.col("qv"), n_planes, planes, proj_digits))
     probes = [F.col("sketch")]
     if probe_hamming >= 1:
         probes += [
