@@ -27,7 +27,10 @@ def get_spark(
 ) -> SparkSession:
     """Build (or get) a SparkSession with the engine's defaults.
 
-    ``master`` falls back to ``local[$SPARK_GRAFT_CPUS]`` (default 32).
+    ``master`` falls back to ``local[$SPARK_GRAFT_CPUS]`` (default 32); pass
+    ``master=""`` to defer to an externally-provided master — the
+    ``spark-submit`` deployment shape (tools/submit_job.py), where the
+    cluster manager URL comes from the submit command, not from code.
     ``shuffle_partitions`` falls back to the local core count — at cluster
     scale you would size this to ~2-3× total executor cores instead.
     """
@@ -37,9 +40,11 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
