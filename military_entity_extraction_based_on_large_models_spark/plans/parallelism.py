@@ -69,6 +69,11 @@ def scale_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     intermediates pass through unchanged via the same check, since they
     already carry ≥ shuffle-partition parallelism.
     """
+    if df.isStreaming:
+        # micro-batch parallelism is the source's job (maxFilesPerTrigger /
+        # maxBytesPerTrigger); a repartition would also break append-only
+        # source requirements for some sinks
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism * multiple
     try:
         n_files = len(df.inputFiles())

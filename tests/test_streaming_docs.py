@@ -1,0 +1,122 @@
+"""Streaming KG construction: true-streaming extraction plan parity,
+incremental micro-batches through the lineage sink, and replay idempotency."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from military_entity_extraction_based_on_large_models_spark.plans.pipeline import (
+    kg_pipeline,
+)
+from military_entity_extraction_based_on_large_models_spark.sources.documents import (
+    read_driver_documents,
+)
+from military_entity_extraction_based_on_large_models_spark.sources.gazetteer import (
+    MILITARY_GAZETTEER,
+    VOCAB_GAZETTEER,
+)
+from military_entity_extraction_based_on_large_models_spark.streaming import (
+    documents as SD,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _doc_halves(spark):
+    docs = read_driver_documents(spark, SF_DIR).drop("doc_sha")
+    half_a = docs.where(F.col("path").cast("long") % 2 == 0)
+    half_b = docs.where(F.col("path").cast("long") % 2 == 1)
+    return docs, half_a, half_b
+
+
+def test_stream_kg_triples_matches_batch(spark, tmp_path):
+    """The flagship plan runs AS a streaming query and emits exactly the
+    batch pipeline's triples — proof the stateless path has no batch-only
+    plan node."""
+    docs, half_a, _ = _doc_halves(spark)
+    src = tmp_path / "src"
+    half_a.coalesce(1).write.parquet(str(src))
+    stream = SD.stream_documents(spark, str(src), half_a.schema)
+    assert stream.isStreaming
+
+    triples = SD.stream_kg_triples(stream, VOCAB_GAZETTEER)
+    out = tmp_path / "sink"
+    q = (
+        triples.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(str(out))
+    want = kg_pipeline(half_a, VOCAB_GAZETTEER)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_stream_kg_triples_rejects_ambiguous_gazetteer(spark, tmp_path):
+    docs, half_a, _ = _doc_halves(spark)
+    src = tmp_path / "src"
+    half_a.limit(1).coalesce(1).write.parquet(str(src))
+    stream = SD.stream_documents(spark, str(src), half_a.schema)
+    with pytest.raises(ValueError, match="foreachBatch"):
+        SD.stream_kg_triples(stream, MILITARY_GAZETTEER)
+    with pytest.raises(ValueError, match="batch"):
+        SD.stream_kg_triples(half_a, VOCAB_GAZETTEER)
+
+
+def test_streaming_incremental_then_catchup(spark, tmp_path):
+    """availableNow catch-up runs: first run drains file A; file B lands;
+    second run (same checkpoint) processes ONLY B; the union of per-batch
+    outputs equals the batch pipeline over A ∪ B."""
+    docs, half_a, half_b = _doc_halves(spark)
+    src = tmp_path / "src"
+    out = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "ckpt")
+    half_a.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = SD.stream_documents(spark, str(src), half_a.schema)
+    q = SD.run_streaming_resumable(
+        stream, out, ckpt, gazetteer=VOCAB_GAZETTEER, n_buckets=4
+    )
+    q.awaitTermination(180)
+    n_a = SD.read_streamed_triples(spark, out).count()
+    assert n_a == kg_pipeline(half_a, VOCAB_GAZETTEER).count()
+
+    half_b.coalesce(1).write.mode("append").parquet(str(src))
+    q = SD.run_streaming_resumable(
+        SD.stream_documents(spark, str(src), half_a.schema),
+        out, ckpt, gazetteer=VOCAB_GAZETTEER, n_buckets=4,
+    )
+    q.awaitTermination(180)
+
+    got = SD.read_streamed_triples(spark, out)
+    want = kg_pipeline(docs, VOCAB_GAZETTEER)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_streaming_replay_is_idempotent(spark, tmp_path):
+    """A micro-batch replayed after a crash-before-commit (same batch_df,
+    same batch_id) must not duplicate rows — the lineage writer truncates
+    and rewrites the same buckets."""
+    _, half_a, _ = _doc_halves(spark)
+    out = str(tmp_path / "kg")
+    SD.write_batch_with_lineage(
+        half_a, 0, out, gazetteer=VOCAB_GAZETTEER, n_buckets=4
+    )
+    first = SD.read_streamed_triples(spark, out)
+    n_first = first.count()
+    assert n_first > 0
+
+    SD.write_batch_with_lineage(
+        half_a, 0, out, gazetteer=VOCAB_GAZETTEER, n_buckets=4
+    )
+    again = SD.read_streamed_triples(spark, out)
+    assert again.count() == n_first
+    assert again.exceptAll(kg_pipeline(half_a, VOCAB_GAZETTEER)).count() == 0
