@@ -243,3 +243,93 @@ def test_linking_keeps_null_name_error_rows(spark):
     linked = link_mentions(mentions, {}, ambiguous_names=["Tiger"])
     assert linked.count() == 2
     assert linked.where(F.col("name").isNull()).count() == 1
+
+
+# ---- randomized incremental-maintenance equivalence -------------------------
+
+_MUT_GAZ = [
+    ("alpha", "ent_alpha", "other"),
+    ("bravo", "ent_bravo", "other"),
+    ("charlie", "ent_charlie", "other"),
+]
+
+
+def _corpus_docs(spark, corpus):
+    from military_entity_extraction_based_on_large_models_spark.sources.documents import (
+        with_doc_sha,
+    )
+
+    rows = [("r", name, "c0", "txt", content) for name, content in sorted(corpus.items())]
+    df = spark.createDataFrame(rows, ["repo", "path", "commit", "lang", "content"])
+    return with_doc_sha(df)
+
+
+def _incremental_step(spark, corpus, out, n_buckets):
+    docs = _corpus_docs(spark, corpus)
+    sliced = lineage.resume_filter(docs, out, n_buckets).drop("part_bucket")
+    lineage.write_with_lineage(
+        kg_pipeline(sliced, _MUT_GAZ), out, n_buckets, input_docs=sliced
+    )
+    return docs
+
+
+def test_resume_equivalence_under_random_mutations(spark, tmp_path):
+    """Property: an evolving corpus (seeded random adds / modifies / deletes)
+    maintained through resume_filter + write_with_lineage always equals the
+    fresh batch output on every LIVE bucket after each incremental step, and
+    exactly (stale vanished buckets pruned) after a final full_input pass.
+    Generalizes the single-scenario stale-bucket / crash-window tests."""
+    import random
+
+    rng = random.Random(20260816)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+
+    def content():
+        return " ".join(rng.choice(words) for _ in range(6))
+
+    corpus = {f"d{i:03d}": content() for i in range(20)}
+    next_id = 20
+    out = str(tmp_path / "kg")
+    n_buckets = 8
+
+    _incremental_step(spark, corpus, out, n_buckets)
+
+    for _step in range(4):
+        for name in rng.sample(sorted(corpus), k=3):
+            corpus[name] = content()          # modify
+        for name in rng.sample(sorted(corpus), k=2):
+            del corpus[name]                  # delete
+        for _ in range(3):
+            corpus[f"d{next_id:03d}"] = content()  # add
+            next_id += 1
+
+        docs = _incremental_step(spark, corpus, out, n_buckets)
+        want = kg_pipeline(docs, _MUT_GAZ)
+
+        # the incremental contract: every bucket the CURRENT corpus hashes
+        # into is exact; only fully-vanished buckets may hold stale rows
+        # until a full_input pass prunes them
+        live = [
+            r["part_bucket"]
+            for r in lineage.with_bucket(docs, n_buckets)
+            .select("part_bucket").distinct().collect()
+        ]
+        got_live = (
+            spark.read.parquet(out + "/data")
+            .where(F.col("part_bucket").isin(live))
+            .drop("part_bucket")
+        )
+        assert got_live.exceptAll(want).count() == 0
+        assert want.exceptAll(got_live).count() == 0
+
+    # final reconcile: complete-corpus pass prunes vanished buckets exactly
+    docs = _corpus_docs(spark, corpus)
+    lineage.write_with_lineage(
+        kg_pipeline(docs, _MUT_GAZ), out, n_buckets,
+        input_docs=docs, full_input=True,
+    )
+    got = spark.read.parquet(out + "/data").drop("part_bucket")
+    want = kg_pipeline(docs, _MUT_GAZ)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert lineage.resume_filter(docs, out, n_buckets).count() == 0
