@@ -158,3 +158,29 @@ def read_streamed_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     )
     # part_bucket is the sink's physical layout, not part of the triple schema
     return out.drop("part_bucket")
+
+
+def compact_streamed_triples(
+    spark: SparkSession,
+    out_dir: str,
+    target_dir: str,
+    n_buckets: int = 64,
+) -> None:
+    """Fold the per-batch streaming history into one bucket-partitioned
+    dataset (``target_dir/data``, same physical layout as the batch sink).
+
+    One shuffle (repartition by doc-sha bucket).  The batch dirs are left
+    untouched — the history stays append-only; readers swap to the compacted
+    dir once this write commits.  The compacted dir is a READ optimization,
+    not a resume checkpoint: lineage manifests vouch for input-doc digests,
+    which triples alone cannot reconstruct (zero-triple docs are invisible
+    here), so incremental processing keeps running against ``out_dir``.
+    """
+    triples = read_streamed_triples(spark, out_dir)
+    bucketed = lineage.with_bucket(triples, n_buckets, key="doc_sha")
+    (
+        bucketed.repartition("part_bucket")
+        .write.partitionBy("part_bucket")
+        .mode("overwrite")
+        .parquet(os.path.join(target_dir, "data"))
+    )

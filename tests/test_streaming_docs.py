@@ -120,3 +120,21 @@ def test_streaming_replay_is_idempotent(spark, tmp_path):
     again = SD.read_streamed_triples(spark, out)
     assert again.count() == n_first
     assert again.exceptAll(kg_pipeline(half_a, VOCAB_GAZETTEER)).count() == 0
+
+
+def test_compact_streamed_triples(spark, tmp_path):
+    """Compaction folds the batch history into one bucket-partitioned dataset
+    with identical rows; the batch dirs stay untouched."""
+    _, half_a, half_b = _doc_halves(spark)
+    out = str(tmp_path / "kg")
+    SD.write_batch_with_lineage(half_a, 0, out, gazetteer=VOCAB_GAZETTEER, n_buckets=4)
+    SD.write_batch_with_lineage(half_b, 1, out, gazetteer=VOCAB_GAZETTEER, n_buckets=4)
+    target = str(tmp_path / "compact")
+    SD.compact_streamed_triples(spark, out, target, n_buckets=8)
+
+    want = SD.read_streamed_triples(spark, out)
+    got = spark.read.parquet(target + "/data").drop("part_bucket")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # history untouched
+    assert SD.read_streamed_triples(spark, out).count() == want.count()

@@ -99,3 +99,31 @@ def test_pyfiles_zip_is_deterministic(tmp_path):
     b = build(str(tmp_path / "b.zip"), repo_root=REPO)
     with open(a, "rb") as fa, open(b, "rb") as fb:
         assert fa.read() == fb.read()
+
+
+def test_read_documents_table_format(spark):
+    """source_format='table' resolves through the session catalog — the
+    production path where an Iceberg table name comes from the metastore."""
+    from military_entity_extraction_based_on_large_models_spark.sources.documents import (
+        read_documents,
+        read_driver_documents,
+    )
+
+    docs = read_driver_documents(spark, SF_DIR)
+    docs.drop("doc_sha").createOrReplaceTempView("docs_catalog_view")
+    via_table = read_documents(spark, "docs_catalog_view", source_format="table")
+    assert via_table.count() == docs.count()
+    assert via_table.exceptAll(docs).count() == 0
+
+
+def test_read_documents_iceberg_guard(spark):
+    import pytest
+
+    from military_entity_extraction_based_on_large_models_spark.sources.documents import (
+        read_documents,
+    )
+
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_documents(spark, "/tmp/nope", source_format="iceberg")
+    with pytest.raises(ValueError, match="unknown source_format"):
+        read_documents(spark, "/tmp/nope", source_format="csv")
