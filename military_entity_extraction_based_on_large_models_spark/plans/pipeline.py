@@ -120,13 +120,26 @@ def run_resumable(
     out_dir: str,
     gazetteer: Sequence[tuple[str, str, str]] = MILITARY_GAZETTEER,
     n_buckets: int = 64,
-) -> None:
+) -> dict:
     """Checkpointed end-to-end run: skip committed buckets, write the rest
-    idempotently with a per-partition lineage manifest (north rule)."""
+    idempotently with a per-partition lineage manifest (north rule).
+
+    Returns run metrics (the north rule's "lineage + metrics" surface),
+    derived from the tiny pinned manifest — no extra job over the data:
+    ``buckets_total`` / ``buckets_written`` (manifest rows changed by THIS
+    run; 0 on an unchanged-input re-run), ``docs_vouched`` / ``rows_total``
+    (corpus-wide sums the manifest commits to), ``wall_sec``.
+    """
+    import time
+
+    t0 = time.time()
     if "doc_sha" not in docs.columns:
         from ..sources.documents import with_doc_sha
 
         docs = with_doc_sha(docs)
+    spark = docs.sparkSession
+    before = lineage._read_manifest(spark, out_dir)  # noqa: SLF001
+    before_rows = {tuple(r) for r in before.collect()} if before is not None else set()
     remaining = lineage.resume_filter(docs, out_dir, n_buckets)
     triples = kg_pipeline(remaining.drop("part_bucket"), gazetteer)
     # the manifest records the INPUT digest of the slice this run covered, so
@@ -134,3 +147,12 @@ def run_resumable(
     lineage.write_with_lineage(
         triples, out_dir, n_buckets, input_docs=remaining.drop("part_bucket")
     )
+    after = lineage._read_manifest(spark, out_dir)  # noqa: SLF001
+    after_rows = after.collect() if after is not None else []
+    return {
+        "buckets_total": len(after_rows),
+        "buckets_written": sum(1 for r in after_rows if tuple(r) not in before_rows),
+        "docs_vouched": sum(r["doc_count"] for r in after_rows),
+        "rows_total": sum(r["row_count"] for r in after_rows),
+        "wall_sec": round(time.time() - t0, 3),
+    }

@@ -46,13 +46,17 @@ def test_sha256_lineage_invariant(spark, corpus, docs_df):
 
 def test_resumable_write_and_skip(spark, docs_df, tmp_path):
     out = str(tmp_path / "kg_out")
-    run_resumable(docs_df, out, n_buckets=8)
+    m1 = run_resumable(docs_df, out, n_buckets=8)
     first = spark.read.parquet(out + "/data")
     n1 = first.count()
     assert n1 > 0
     manifest = spark.read.parquet(out + "/_lineage")
     assert manifest.count() <= 8
     assert manifest.agg(F.sum("row_count")).first()[0] == n1
+    # run metrics (north rule: lineage + metrics) agree with the manifest
+    assert m1["rows_total"] == n1
+    assert m1["buckets_written"] == m1["buckets_total"] == manifest.count()
+    assert m1["docs_vouched"] == docs_df.count()
 
     # resume: the manifest records the INPUT digest per bucket, so with an
     # identical input NOTHING remains — including buckets whose docs emitted
@@ -60,10 +64,13 @@ def test_resumable_write_and_skip(spark, docs_df, tmp_path):
     remaining = lineage.resume_filter(docs_df, out, n_buckets=8)
     assert remaining.count() == 0
 
-    # idempotency: re-running everything produces the identical triple set
-    run_resumable(docs_df, out, n_buckets=8)
+    # idempotency: re-running everything produces the identical triple set,
+    # and the metrics record a zero-work resume
+    m2 = run_resumable(docs_df, out, n_buckets=8)
     second = spark.read.parquet(out + "/data")
     assert second.count() == n1
+    assert m2["buckets_written"] == 0
+    assert m2["rows_total"] == n1
 
 
 def test_resume_detects_new_doc_in_committed_bucket(spark, docs_df, tmp_path):

@@ -88,10 +88,14 @@ def test_spark_submit_pyfiles_roundtrip(spark, tmp_path):
     written = spark.read.parquet(out_dir + "/data")
     assert written.count() == expected
 
-    # idempotent re-submit: nothing re-processed, nothing duplicated
+    # idempotent re-submit: nothing re-processed, nothing duplicated — the
+    # run metrics (north rule: lineage + metrics) show zero buckets written
     second = _run_submit(pyfiles, script, out_dir)
     assert second["triples"] == expected
     assert second["committed_buckets"] == first["committed_buckets"]
+    assert first["buckets_written"] == first["buckets_total"] > 0
+    assert second["buckets_written"] == 0
+    assert second["rows_total"] == first["rows_total"]
 
 
 def test_pyfiles_zip_is_deterministic(tmp_path):

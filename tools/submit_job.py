@@ -58,7 +58,6 @@ def main(argv: list[str] | None = None) -> None:
 
     # imported here, not at module top: the package arrives via --py-files,
     # which lands on sys.path during app startup
-    from military_entity_extraction_based_on_large_models_spark.plans import lineage
     from military_entity_extraction_based_on_large_models_spark.plans.pipeline import (
         run_resumable,
     )
@@ -95,21 +94,17 @@ def main(argv: list[str] | None = None) -> None:
 
         gaz = MILITARY_GAZETTEER
 
-    run_resumable(docs, args.output, gazetteer=gaz, n_buckets=args.n_buckets)
-
-    manifest = spark.read.parquet(args.output + "/" + lineage.MANIFEST_DIR)
-    n_buckets_done = manifest.count()
-    try:
-        n_rows = spark.read.parquet(args.output + "/data").count()
-    except Exception:  # noqa: BLE001 — an all-empty output has no data files
-        n_rows = 0
+    metrics = run_resumable(
+        docs, args.output, gazetteer=gaz, n_buckets=args.n_buckets
+    )
     print(
         json.dumps(
             {
                 "status": "ok",
                 "output": args.output,
-                "triples": n_rows,
-                "committed_buckets": n_buckets_done,
+                "triples": metrics["rows_total"],
+                "committed_buckets": metrics["buckets_total"],
+                **metrics,
             }
         )
     )
