@@ -37,6 +37,7 @@ from military_entity_extraction_based_on_large_models_spark.functions import (
 from military_entity_extraction_based_on_large_models_spark.operators import (
     dedup,
     linking,
+    scoring,
     similarity,
 )
 from military_entity_extraction_based_on_large_models_spark.operators.canonicalize import (
@@ -872,6 +873,21 @@ def q_prompt_assembly(spark, sf_dir):
             hint,
         ).alias("prompt"),
     ).distinct()
+
+
+def q_mention_scores(spark, sf_dir):
+    """Batched model scoring (north star: 'batched model scoring, never
+    per-row Python'): the deterministic stub scorer over deduped mentions —
+    one pandas_udf call per Arrow batch.  The stub's rational sigmoid is
+    pure double arithmetic, so the oracle replicates the stage exactly; a
+    real model slots in via scorer= with no plan change."""
+    docs = read_driver_documents(spark, sf_dir)
+    m = kg_mentions(docs, VOCAB_GAZETTEER).select(
+        F.col("path").cast("bigint").alias("doc_id"), "name", "label"
+    ).distinct()
+    return scoring.score_mentions(m).select(
+        "doc_id", "name", "label", F.round("score", 6).alias("score")
+    )
 
 
 def q_judge_sample_accuracy(spark, sf_dir):
@@ -2052,6 +2068,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_two_hop": q_graph_two_hop,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "mention_scores": q_mention_scores,
     }
 
 
@@ -2087,5 +2104,14 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.subj AS entity, b.obj AS two_hop
             FROM edges a JOIN edges b ON a.obj = b.subj
             WHERE a.subj <> b.obj
+        """,
+        # replicates operators/scoring.default_scorer exactly (rational
+        # sigmoid, pure double arithmetic — no libm exp)
+        "mention_scores": f"""
+            SELECT DISTINCT d.doc_id, g.alias AS name, g.label AS label,
+                   round({scoring.default_scorer_sql("g.alias", "NULL")}, 6)
+                     AS score
+            FROM documents d JOIN {GAZ_SQL}
+              ON position(g.alias IN d.text) > 0
         """,
     }
