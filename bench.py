@@ -164,22 +164,12 @@ def run_scaling_job(sf_dir: str, cpus: int, replicate: int) -> dict:
     n_docs = docs.count()
 
     if arrow_mode:
-        # heavily-matching corpus-bigram dictionary (same construction as
-        # tools/bench_extract_dict.py): hundreds of aliases, most of which hit,
-        # so Python-side matching dominates wall time at every core count
-        words = sorted(
-            {
-                w
-                for r in base.select("content").limit(50).collect()
-                for w in r["content"].split()
-            }
-        )
-        gazetteer = [
-            (f"{a} {b}", f"ent_{a}_{b}", "other")
-            for a in words
-            for b in words
-            if a != b
-        ]
+        # heavily-matching corpus-bigram dictionary (shared constructor, no
+        # drift): hundreds of aliases, most of which hit, so Python-side
+        # matching dominates wall time at every core count
+        from tools.bench_extract_dict import build_bigram_gazetteer
+
+        gazetteer = build_bigram_gazetteer(base)
     else:
         gazetteer = VOCAB_GAZETTEER
     # warm-up + best-of-2: excludes JIT/codegen compile and is robust to

@@ -297,8 +297,14 @@ _AUTOMATON_CACHE: dict[str, _Automaton] = {}
 
 
 def _gazetteer_fingerprint(entries: Sequence[tuple[str, str, str]]) -> str:
+    """ORDER-SENSITIVE cache key.  The automaton's meta-row id enumeration
+    follows entry insertion order, and the dictionary-encoded path decodes
+    executor-emitted ids against a driver-side vocab built from the caller's
+    entry order — a sorted (order-insensitive) key would let a
+    reordered-but-equal gazetteer reuse a cached automaton whose id
+    enumeration no longer matches the decode vocab (round-3 review)."""
     h = hashlib.sha256()
-    for row in sorted(entries):
+    for row in entries:
         h.update("\x1f".join(row).encode("utf-8"))
     return h.hexdigest()
 

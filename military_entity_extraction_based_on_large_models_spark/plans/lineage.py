@@ -182,17 +182,20 @@ def write_with_lineage(
     in_digests = digest_df.collect()
     covered = sorted(r["part_bucket"] for r in in_digests)
 
-    if prev_pinned is not None:
-        # step 1: un-vouch every covered bucket (kept derives from the pinned
-        # in-memory rows, so writing over the manifest dir is safe)
-        kept = prev_pinned.where(~F.col("part_bucket").isin(covered))
-        kept.write.mode("overwrite").parquet(manifest_dir)
-        prev_pinned = kept
     stale = set(covered)
     if full_input:
         # docs vanished entirely: drop their data AND their manifest rows
         stale |= _list_bucket_dirs(spark, data_dir) - set(covered)
-        prev_pinned = None
+    if prev_pinned is not None:
+        # step 1: un-vouch every bucket this run will touch — covered AND
+        # (under full_input) vanished — BEFORE any partition delete, so a
+        # crash anywhere in the window leaves those buckets un-vouched and
+        # re-processable, never a manifest vouching deleted data (kept
+        # derives from the pinned in-memory rows, so writing over the
+        # manifest dir is safe)
+        kept = prev_pinned.where(~F.col("part_bucket").isin(sorted(stale)))
+        kept.write.mode("overwrite").parquet(manifest_dir)
+        prev_pinned = None if full_input else kept
     _delete_bucket_dirs(spark, data_dir, sorted(stale))
     bucketed.write.partitionBy("part_bucket").mode("append").parquet(data_dir)
 
@@ -205,9 +208,17 @@ def write_with_lineage(
             [], "part_bucket int, row_count bigint, sha_xor bigint"
         )
     else:
-        row_side = written.groupBy("part_bucket").agg(
-            F.count(F.lit(1)).alias("row_count"),
-            F.bit_xor(_sha_long(key)).alias("sha_xor"),
+        # restrict the digest scan to the buckets this run covers — the left
+        # join below discards everything else anyway, and the isin predicate
+        # partition-prunes the data scan (an incremental commit reads only
+        # the just-written partitions, not the whole history)
+        row_side = (
+            written.where(F.col("part_bucket").isin(covered))
+            .groupBy("part_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.bit_xor(_sha_long(key)).alias("sha_xor"),
+            )
         )
     current = doc_side.join(row_side, "part_bucket", "left").select(
         "part_bucket",
@@ -226,12 +237,19 @@ def write_with_lineage(
 
 def _read_data(spark: SparkSession, data_dir: str) -> DataFrame | None:
     """The written data, or None when nothing has ever produced output rows
-    (an all-empty write leaves no parquet files to infer a schema from)."""
+    (an all-empty write leaves no parquet files to infer a schema from).
+
+    Only AnalysisException (missing path / no files to infer a schema from)
+    maps to None; any other failure — a transient store listing error,
+    permissions — propagates, because treating it as "no data" would commit
+    row_count=0 digests for buckets that really hold rows."""
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(data_dir)
         df.schema  # force schema inference so an empty dir fails here
         return df
-    except Exception:
+    except AnalysisException:
         return None
 
 
@@ -240,11 +258,13 @@ def _read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
     downstream plans — resume filters, carried-row unions — must not keep
     lazy references to manifest files that a subsequent commit overwrites."""
     path = os.path.join(out_dir, MANIFEST_DIR)
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(path)
-        return spark.createDataFrame(df.collect(), df.schema)
-    except Exception:
+    except AnalysisException:  # no manifest yet; other errors propagate
         return None
+    return spark.createDataFrame(df.collect(), df.schema)
 
 
 def completed_buckets(spark: SparkSession, out_dir: str) -> DataFrame | None:

@@ -51,23 +51,44 @@ def truncate_plan_stats(df: DataFrame) -> DataFrame:
         return df
 
 
+# logical-plan node names that imply a shuffle boundary somewhere below —
+# the string scan runs on the optimizedPlan tree, whose operator lines start
+# with these names
+_SHUFFLE_NODES = (
+    "Aggregate",
+    "Join",
+    "Window",
+    "Sort",
+    "Repartition",
+    "Deduplicate",
+    "Intersect",
+    "Except",
+    "CoGroup",
+    "FlatMapGroups",
+)
+
+
 def scale_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     """Repartition df up to defaultParallelism × multiple if its scan would
     produce fewer splits; otherwise return it unchanged.
 
     The split estimate comes from ``df.inputFiles()`` (a metadata-only call on
     the file index), NOT ``df.rdd.getNumPartitions()``: materializing the RDD
-    forces a plan→RDD conversion on every invocation, bypasses AQE's view of
-    the plan, and was flagged in the round-1 review.  File count slightly
-    underestimates splits when files exceed maxPartitionBytes — acceptable,
-    because the only cost of a false positive is one narrow round-robin
-    exchange.  Frames that report NO input files split two ways (ADVICE r02:
-    the pure inputFiles check silently left local relations on 1 partition):
-    in-memory/local-relation inputs (createDataFrame, test or API frames)
-    fall back to the RDD partition count — cheap for a local relation, and
-    the one case where under-parallelism actually bites; post-shuffle
-    intermediates pass through unchanged via the same check, since they
-    already carry ≥ shuffle-partition parallelism.
+    forces a plan→RDD conversion on every invocation — and under AQE it
+    EXECUTES the upstream shuffle stages as a throwaway job (flagged in the
+    round-1 review; re-confirmed live in the round-3 review).  File count
+    slightly underestimates splits when files exceed maxPartitionBytes —
+    acceptable, because the only cost of a false positive is one narrow
+    round-robin exchange.  Frames that report NO input files split two ways
+    (ADVICE r02: the pure inputFiles check silently left local relations on
+    1 partition): NARROW plans over in-memory sources (createDataFrame /
+    parallelize — only projections/filters above the leaf) take the
+    RDD-partition-count probe, cheap there because a narrow plan has no
+    shuffle stage for ``.rdd`` to execute; any plan containing a
+    shuffle-inducing operator passes through unchanged — it already carries
+    shuffle-partition parallelism (or AQE deliberately coalesced it), and
+    probing it would execute the upstream shuffle as a throwaway job
+    (round-3 review, verified live).
     """
     if df.isStreaming:
         # micro-batch parallelism is the source's job (maxFilesPerTrigger /
@@ -81,9 +102,12 @@ def scale_out(df: DataFrame, multiple: int = 1) -> DataFrame:
         return df
     if n_files == 0:
         try:
-            n_parts = df.rdd.getNumPartitions()
+            plan = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
         except Exception:
             return df
+        if any(tok in plan for tok in _SHUFFLE_NODES):
+            return df
+        n_parts = df.rdd.getNumPartitions()  # narrow plan: no job fired
         return df.repartition(target) if n_parts < target else df
     if n_files < target:
         return df.repartition(target)

@@ -150,12 +150,25 @@ def read_streamed_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     # one read per batch root, unioned: Spark refuses multi-root partition
     # discovery over the per-batch part_bucket= layouts (KD009).  Fine for
     # operational batch counts; a long history is compacted downstream.
+    # A micro-batch whose docs matched nothing leaves a data dir with only
+    # _SUCCESS — no parquet files, so the read raises AnalysisException
+    # (UNABLE_TO_INFER_SCHEMA); those batches contribute no rows and are
+    # skipped.
     from functools import reduce
 
-    out = reduce(
-        lambda a, b: a.unionByName(b),
-        (spark.read.parquet(d) for d in sorted(data_dirs)),
-    )
+    from pyspark.errors import AnalysisException
+
+    frames = []
+    for d in sorted(data_dirs):
+        try:
+            frames.append(spark.read.parquet(d))
+        except AnalysisException:
+            continue
+    if not frames:
+        raise FileNotFoundError(
+            f"every committed batch under {out_dir} produced zero triples"
+        )
+    out = reduce(lambda a, b: a.unionByName(b), frames)
     # part_bucket is the sink's physical layout, not part of the triple schema
     return out.drop("part_bucket")
 

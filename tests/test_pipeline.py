@@ -340,3 +340,83 @@ def test_resume_equivalence_under_random_mutations(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert lineage.resume_filter(docs, out, n_buckets).count() == 0
+
+
+def test_ids_path_survives_reordered_gazetteer_cache(spark, docs_df):
+    """Round-3 review: the executor automaton cache key must be
+    ORDER-sensitive — a reordered-but-equal gazetteer enumerates meta-row
+    ids differently, and a shared (sorted) key let the ids path decode
+    against the wrong vocabulary.  Prime the cache with one order, then run
+    the reversed order: both must yield the identical triple set."""
+    from military_entity_extraction_based_on_large_models_spark.operators.extract import (
+        extract_doc_mention_ids,
+    )
+    from military_entity_extraction_based_on_large_models_spark.operators.triples import (
+        materialize_triples_from_doc_ids,
+    )
+    from military_entity_extraction_based_on_large_models_spark.sources.gazetteer import (
+        MILITARY_GAZETTEER,
+    )
+
+    seen: dict[str, set] = {}
+    for a, c, _l in MILITARY_GAZETTEER:
+        seen.setdefault(a, set()).add(c)
+    gaz = [e for e in MILITARY_GAZETTEER if len(seen[e[0]]) == 1]
+
+    def triples(g):
+        return {
+            (r["subj"], r["pred"], r["obj"], r["doc_sha"])
+            for r in materialize_triples_from_doc_ids(
+                extract_doc_mention_ids(docs_df, g), g
+            ).collect()
+        }
+
+    first = triples(gaz)
+    assert first
+    assert triples(list(reversed(gaz))) == first
+
+
+def test_full_input_crash_window_never_vouches_deleted_buckets(
+    spark, tmp_path, monkeypatch
+):
+    """Round-3 review: under full_input, vanished buckets must be un-vouched
+    BEFORE their data is deleted — a crash inside the delete window must
+    leave the on-disk manifest without their rows, not vouching deleted
+    data."""
+    out = str(tmp_path / "lzc")
+    both = _docs_frame(spark, ["d1", "d2"])
+    t1 = _triples_frame(spark, [("d1", "s1"), ("d2", "s2")])
+    lineage.write_with_lineage(t1, out, n_buckets=4, input_docs=both)
+
+    real_delete = lineage._delete_bucket_dirs
+
+    def delete_then_crash(spark_, data_dir, buckets):
+        real_delete(spark_, data_dir, buckets)
+        raise RuntimeError("simulated crash after partition delete")
+
+    monkeypatch.setattr(lineage, "_delete_bucket_dirs", delete_then_crash)
+    only_d2 = _docs_frame(spark, ["d2"])
+    t2 = _triples_frame(spark, [("d2", "s2")])
+    try:
+        lineage.write_with_lineage(
+            t2, out, n_buckets=4, input_docs=only_d2, full_input=True
+        )
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(lineage, "_delete_bucket_dirs", real_delete)
+
+    # crash state: d1's bucket data is gone, and the manifest must NOT
+    # contain its row (it was un-vouched before the delete)
+    manifest = spark.read.parquet(out + "/_lineage")
+    d1_bucket = lineage.with_bucket(
+        _docs_frame(spark, ["d1"]), 4, key="doc_sha"
+    ).select("part_bucket").first()[0]
+    assert manifest.where(F.col("part_bucket") == d1_bucket).count() == 0
+
+    # completing the interrupted run converges to the correct final state
+    lineage.write_with_lineage(
+        t2, out, n_buckets=4, input_docs=only_d2, full_input=True
+    )
+    data = spark.read.parquet(out + "/data")
+    assert {r["subj"] for r in data.collect()} == {"s2"}
+    assert lineage.resume_filter(only_d2, out, n_buckets=4).count() == 0

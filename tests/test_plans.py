@@ -151,3 +151,24 @@ def test_aggregate_is_partial_then_final(spark):
     q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
     plan = _plan(q)
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_scale_out_local_relation_and_shuffle_passthrough(spark):
+    """Round-3 review: the no-input-files fallback must use the plan-only
+    isLocal check — local relations repartition to the target; post-shuffle
+    frames pass through UNCHANGED (the old df.rdd probe executed the
+    upstream shuffle as a throwaway job under AQE)."""
+    from pyspark.sql import functions as F
+
+    from military_entity_extraction_based_on_large_models_spark.plans.parallelism import (
+        scale_out,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    rdd = spark.sparkContext.parallelize([(i,) for i in range(10)], 2)
+    local = spark.createDataFrame(rdd, ["x"])
+    assert local.rdd.getNumPartitions() == 2  # genuinely under-partitioned
+    assert scale_out(local).rdd.getNumPartitions() == target
+
+    shuffled = local.groupBy("x").count()
+    assert scale_out(shuffled) is shuffled  # identity: no probe, no exchange

@@ -138,3 +138,19 @@ def test_compact_streamed_triples(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
     # history untouched
     assert SD.read_streamed_triples(spark, out).count() == want.count()
+
+
+def test_empty_micro_batch_does_not_break_history_read(spark, tmp_path):
+    """Round-3 review: a micro-batch whose docs match nothing leaves a data
+    dir with only _SUCCESS; the history read must skip it, not crash with
+    UNABLE_TO_INFER_SCHEMA."""
+    _, half_a, half_b = _doc_halves(spark)
+    out = str(tmp_path / "kg")
+    # batch 0: empty gazetteer → zero triples
+    SD.write_batch_with_lineage(half_a, 0, out, gazetteer=[], n_buckets=4)
+    with pytest.raises(FileNotFoundError, match="zero triples"):
+        SD.read_streamed_triples(spark, out)
+    # batch 1: real triples — history read recovers, empty batch skipped
+    SD.write_batch_with_lineage(half_b, 1, out, gazetteer=VOCAB_GAZETTEER, n_buckets=4)
+    got = SD.read_streamed_triples(spark, out)
+    assert got.count() == kg_pipeline(half_b, VOCAB_GAZETTEER).count()

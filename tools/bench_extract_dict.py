@@ -1,10 +1,12 @@
 """Large-dictionary extraction A/B: string-struct Arrow path vs
 dictionary-encoded ids path (NOTES.md round-2 lead #1).
 
-Dictionary: every word bigram of the driver corpus vocabulary that occurs in
-the sf docs (~hundreds of matching aliases, far past EXPR_GAZETTEER_MAX), so
-the flagship routes through the Arrow stage and most aliases really match —
+Dictionary: every ordered pair of distinct words from the first 50 docs'
+vocabulary (hundreds of aliases, far past EXPR_GAZETTEER_MAX), so the
+flagship routes through the Arrow stage and many aliases really match —
 the regime where mention strings dominated the Arrow payload.
+``build_bigram_gazetteer`` is shared with ``bench.py --scaling``'s arrow
+mode (one construction, no drift).
 
 Run pinned:  taskset -c 0-3 python tools/bench_extract_dict.py 4
 """
@@ -34,6 +36,24 @@ from military_entity_extraction_based_on_large_models_spark.sources.documents im
 )
 
 
+def build_bigram_gazetteer(base_docs, sample_docs: int = 50):
+    """Deterministic heavily-matching dictionary: every ordered pair of
+    distinct words drawn from the first ``sample_docs`` docs' vocabulary."""
+    words = sorted(
+        {
+            w
+            for r in base_docs.select("content").limit(sample_docs).collect()
+            for w in r["content"].split()
+        }
+    )
+    return [
+        (f"{a} {b}", f"ent_{a}_{b}", "other")
+        for a in words
+        for b in words
+        if a != b
+    ]
+
+
 def main() -> None:
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "32"))
@@ -52,20 +72,7 @@ def main() -> None:
     ).repartition(2 * cpus).localCheckpoint(eager=True)
     n_docs = docs.count()
 
-    # dictionary: corpus-word bigrams (deterministic, heavily matching)
-    words = sorted(
-        {
-            w
-            for r in base.select("content").limit(50).collect()
-            for w in r["content"].split()
-        }
-    )
-    gaz = [
-        (f"{a} {b}", f"ent_{a}_{b}", "other")
-        for a in words
-        for b in words
-        if a != b
-    ]
+    gaz = build_bigram_gazetteer(base)
     print(f"docs={n_docs} dict={len(gaz)}", file=sys.stderr)
 
     def run_strings() -> int:
