@@ -105,18 +105,31 @@ def minhash_band_buckets(shingles_col, n_hashes: int, n_bands: int):
     )
 
 
-def pairs_from_buckets(banded: DataFrame) -> DataFrame:
+def pairs_from_buckets(
+    banded: DataFrame, max_bucket_size: int | None = 10_000
+) -> DataFrame:
     """(id, band, bucket) → distinct candidate pairs (id_a < id_b).
 
     One groupBy shuffle; pair fan-out is generated columnar from the sorted
     id set per bucket (flatten of a triangular transform), so the expensive
     upstream (signatures/sketches) is computed exactly once — a self-join
-    would re-evaluate it per side and add a second shuffle."""
+    would re-evaluate it per side and add a second shuffle.
+
+    ``max_bucket_size`` skips buckets larger than the cap (default 10k ids ≈
+    50M pairs): a bucket that large means a degenerate equal-signature class
+    — mass exact duplicates, or below-min-length inputs that all collapse to
+    one signature — whose members are better handled by ``exact_dedup``
+    upstream; fanning it out would put an O(|bucket|²) pair explosion and an
+    |bucket|-sized collect_set on one reducer.  Pass ``None`` for the
+    exhaustive behavior.  The cap is a documented semantic (not silent
+    truncation): candidates WITHIN an oversized bucket are not emitted."""
     grouped = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        grouped = grouped.where(F.size("ids") <= max_bucket_size)
     combos = F.flatten(
         F.transform(
             "ids",

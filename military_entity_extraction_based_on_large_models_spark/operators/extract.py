@@ -115,6 +115,11 @@ def build_alias_meta(
     for alias, canonical, label in entries:
         if _BATCH_SEP in alias:
             raise ValueError("gazetteer aliases may not contain \\x1e")
+        if not alias:
+            # str.find("") matches at EVERY position: one empty dictionary
+            # row would turn extraction into a quadratic job emitting
+            # out-of-range spans — fail fast instead
+            raise ValueError("gazetteer aliases must be non-empty")
         metas = alias_to_meta.setdefault(alias, [])
         if (canonical, label) not in metas:  # exact-duplicate entries collapse
             metas.append((canonical, label))
@@ -306,6 +311,8 @@ def _gazetteer_fingerprint(entries: Sequence[tuple[str, str, str]]) -> str:
     h = hashlib.sha256()
     for row in entries:
         h.update("\x1f".join(row).encode("utf-8"))
+        h.update(b"\x1e")  # row terminator: without it the per-row updates
+        # concatenate and distinct gazetteers can hash identically
     return h.hexdigest()
 
 
@@ -315,6 +322,22 @@ def _get_automaton(key: str, entries: Sequence[tuple[str, str, str]]) -> _Automa
         auto = _Automaton(entries)
         _AUTOMATON_CACHE[key] = auto
     return auto
+
+
+_BROADCAST_CACHE: dict = {}
+
+
+def _broadcast_gazetteer(spark, key: str, entries):
+    """Driver-side broadcast cache keyed by (application, gazetteer
+    fingerprint): without it, every extraction call — one per micro-batch in
+    the streaming path — pinned a fresh never-destroyed broadcast in the
+    driver BlockManager (round-3 review)."""
+    cache_key = (spark.sparkContext.applicationId, key)
+    bc = _BROADCAST_CACHE.get(cache_key)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(entries)
+        _BROADCAST_CACHE[cache_key] = bc
+    return bc
 
 
 MENTION_STRUCT = StructType(
@@ -434,7 +457,7 @@ def extract_doc_mentions(
     entries = [tuple(e) for e in gazetteer_entries]
     key = _gazetteer_fingerprint(entries)
     spark = docs.sparkSession
-    bc = spark.sparkContext.broadcast(entries)
+    bc = _broadcast_gazetteer(spark, key, entries)
     cw = context_window if emit_context else None
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -534,7 +557,7 @@ def extract_doc_mention_ids(
     entries = [tuple(e) for e in gazetteer_entries]
     key = _gazetteer_fingerprint(entries)
     spark = docs.sparkSession
-    bc = spark.sparkContext.broadcast(entries)
+    bc = _broadcast_gazetteer(spark, key, entries)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         auto = _get_automaton(key, bc.value)
@@ -623,16 +646,26 @@ def dedup_mentions(mentions: DataFrame) -> DataFrame:
     via first() (constant within a group).
     """
     keyed = with_doc_key(mentions.where(F.col("error").isNull()))
-    return (
-        keyed.groupBy(*DOC_KEY, "name", "label")
-        .agg(
-            F.first("doc_sha").alias("doc_sha"),
-            F.first("repo").alias("repo"),
-            F.first("path").alias("path"),
-            F.first("commit").alias("commit"),
-            F.min("begin").alias("begin"),
-            F.min_by("canonical", "begin").alias("canonical"),
-            F.min_by("context", "begin").alias("context"),
-        )
-        .withColumn("end", F.col("begin") + F.length("name"))
+    agged = keyed.groupBy(*DOC_KEY, "name", "label").agg(
+        F.first("doc_sha").alias("doc_sha"),
+        F.first("repo").alias("repo"),
+        F.first("path").alias("path"),
+        F.first("commit").alias("commit"),
+        # ONE ordered struct-min: earliest span, ties broken by canonical
+        # then context — a deterministic total order.  (min_by per column
+        # left begin-ties engine-defined: an alias fanning out to two
+        # canonicals at the same span could flip canonical between runs.)
+        F.min(F.struct("begin", "canonical", "context")).alias("_m"),
     )
+    return agged.select(
+        *DOC_KEY,
+        "name",
+        "label",
+        "doc_sha",
+        "repo",
+        "path",
+        "commit",
+        F.col("_m.begin").alias("begin"),
+        F.col("_m.canonical").alias("canonical"),
+        F.col("_m.context").alias("context"),
+    ).withColumn("end", F.col("begin") + F.length("name"))

@@ -65,13 +65,19 @@ def bounded_retry(
         if pass_no > 1 and (pass_no - 1) % CHECKPOINT_EVERY == 0:
             pending = pending.localCheckpoint(eager=True)
         scored = attempt(pending, pass_no)
+        # NULL `resolved` (e.g. a verifier comparison over a NULL column)
+        # counts as UNRESOLVED: under three-valued logic a bare
+        # where(resolved) + where(~resolved) pair drops NULL rows from BOTH
+        # branches, silently losing them (same class as the linking.py
+        # NULL-name cold-route fix, ADVICE r01)
+        ok = F.coalesce(F.col("resolved"), F.lit(False))
         resolved_parts.append(
-            scored.where(F.col("resolved"))
+            scored.where(ok)
             .drop("resolved")
             .withColumn("attempts", F.lit(pass_no))
             .withColumn("status", F.lit("resolved"))
         )
-        pending = scored.where(~F.col("resolved")).drop("resolved")
+        pending = scored.where(~ok).drop("resolved")
         if with_hint and pass_no < max_passes:
             pending = pending.withColumn(
                 HINT_COL,

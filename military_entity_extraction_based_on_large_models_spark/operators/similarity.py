@@ -138,6 +138,14 @@ def ivf_topk(
     probes = [F.col("cell")]
     if probe_hamming >= 1:
         probes += [F.col("cell").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]
+    if probe_hamming >= 2:
+        probes += [
+            F.col("cell").bitwiseXOR(F.lit((1 << a) | (1 << b)))
+            for a in range(bits)
+            for b in range(a + 1, bits)
+        ]
+    if probe_hamming > 2:
+        raise ValueError("ivf_topk supports probe_hamming <= 2")
     q = q.withColumn("bucket", F.explode(F.array(*probes)))
     cand = c.join(F.broadcast(q), "bucket").withColumn(
         "cosine", V.cosine(F.col("cv"), F.col("qv"))
@@ -271,10 +279,29 @@ def train_kmeans(
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
             .collect()
         )
+        # dimension guards (caller error, not data): vectors LONGER than the
+        # centroids emit pos beyond dim; vectors SHORTER make every zip_with
+        # distance NULL (argmin then degenerates to cid 0), observable as
+        # max pos < dim-1
+        if rows:
+            max_pos = max(r["pos"] for r in rows)
+            if max_pos >= dim:
+                raise ValueError(
+                    f"{vec_col} vectors have >= {max_pos + 1} components "
+                    f"but centroids are {dim}-dim"
+                )
+            if max_pos + 1 < dim:
+                raise ValueError(
+                    f"{vec_col} vectors are shorter ({max_pos + 1}) than "
+                    f"the {dim}-dim centroids"
+                )
         nxt = [list(c) for c in centroids]
         for r in rows:
+            if r["cell"] is None:  # defensive: NULL assignment cell
+                raise ValueError(
+                    f"nearest_cell returned NULL for a {vec_col} vector"
+                )
             nxt[r["cell"]][r["pos"]] = float(r["m"])
-        assert all(len(c) == dim for c in nxt)
         centroids = nxt
     return centroids
 

@@ -22,10 +22,19 @@ DEFAULT_BUCKETS = 32
 
 
 def with_salt(df: DataFrame, buckets: int = DEFAULT_BUCKETS) -> DataFrame:
-    """Uniform per-row salt (hash of the whole row would correlate with the
-    key; monotonically_increasing_id is partition-local and cheap)."""
+    """DETERMINISTIC per-row salt: hash of the full row content.
+
+    monotonically_increasing_id (round-1 version) is position-dependent —
+    after a shuffle-fetch failure forces partial recomputation, rows re-hash
+    to different (key, salt) groups than the partials already consumed
+    (the SPARK-23207 nondeterministic-shuffle-key hazard), corrupting the
+    two-phase merge.  A content hash is retry-stable; its one trade-off —
+    IDENTICAL rows land in the same salt bucket — is harmless for exactly
+    the aggregations salting exists for here (collect_set / distinct
+    partials collapse duplicates map-side; algebraic counts never needed
+    salting, partial aggregation handles them)."""
     return df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
     )
 
 

@@ -74,3 +74,19 @@ def test_embedding_neardup(spark):
     pairs = dedup.embedding_neardup_pairs(emb, threshold=0.95).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
     assert pairs[0]["cosine"] > 0.99
+
+
+def test_pairs_from_buckets_caps_degenerate_buckets(spark):
+    """Round-3 review: an equal-signature mega-bucket (mass exact dups /
+    below-min-length inputs) must not fan out O(n^2) pairs on one reducer;
+    the cap skips it, None restores exhaustive behavior."""
+    from military_entity_extraction_based_on_large_models_spark.operators.dedup import (
+        pairs_from_buckets,
+    )
+
+    rows = [(f"id{i}", 0, 42) for i in range(50)] + [("a", 0, 7), ("b", 0, 7)]
+    banded = spark.createDataFrame(rows, ["id", "band", "bucket"])
+    capped = pairs_from_buckets(banded, max_bucket_size=10)
+    assert capped.count() == 1  # only the small bucket's single pair
+    full = pairs_from_buckets(banded, max_bucket_size=None)
+    assert full.count() == (50 * 49) // 2 + 1

@@ -112,3 +112,72 @@ def test_extract_empty_and_null_content(spark):
         __import__("pyspark").sql.functions.coalesce("content", __import__("pyspark").sql.functions.lit("")), 256))
     out = extract_mentions(docs, MILITARY_GAZETTEER)
     assert out.count() == 0
+
+
+def test_dedup_mentions_deterministic_on_begin_ties(spark):
+    """Round-3 review: an alias fanning out to two canonicals at the SAME
+    span must dedup to a deterministic canonical (ordered struct-min), not
+    an engine-defined min_by tie."""
+    from military_entity_extraction_based_on_large_models_spark.operators.extract import (
+        dedup_mentions,
+        extract_mentions,
+    )
+    from military_entity_extraction_based_on_large_models_spark.sources.documents import (
+        with_doc_sha,
+    )
+
+    docs = with_doc_sha(
+        spark.createDataFrame(
+            [("r", "p", "c", "en", "a Tiger appeared")],
+            ["repo", "path", "commit", "lang", "content"],
+        )
+    )
+    gaz = [("Tiger", "tiger_mbt", "vehicle"), ("Tiger", "tiger_arh", "vehicle")]
+    for _ in range(3):
+        out = dedup_mentions(extract_mentions(docs, gaz)).collect()
+        assert len(out) == 1
+        assert out[0]["canonical"] == "tiger_arh"  # lexicographic struct-min
+
+
+def test_gazetteer_fingerprint_row_boundaries():
+    """Round-3 review: per-row hash updates concatenate, so distinct
+    gazetteers could collide without a row terminator."""
+    from military_entity_extraction_based_on_large_models_spark.operators.extract import (
+        _gazetteer_fingerprint,
+    )
+
+    a = [("x", "y", "z1"), ("q", "r", "s")]
+    b = [("x", "y", "z"), ("1q", "r", "s")]
+    assert _gazetteer_fingerprint(a) != _gazetteer_fingerprint(b)
+    # and order-sensitivity (ids-path decode contract)
+    assert _gazetteer_fingerprint(a) != _gazetteer_fingerprint(list(reversed(a)))
+
+
+def test_empty_alias_rejected():
+    import pytest
+
+    from military_entity_extraction_based_on_large_models_spark.operators.extract import (
+        build_alias_meta,
+    )
+
+    with pytest.raises(ValueError, match="non-empty"):
+        build_alias_meta([("", "ent_x", "label")])
+
+
+def test_gazetteer_broadcast_is_cached_per_fingerprint(spark):
+    """Round-3 review: per-call broadcasts leaked one pinned block per
+    micro-batch; same gazetteer must reuse one broadcast."""
+    from military_entity_extraction_based_on_large_models_spark.operators import extract
+
+    gaz = [("alpha", "ent_a", "other")]
+    key = extract._gazetteer_fingerprint([tuple(e) for e in gaz])
+    cache_key = (spark.sparkContext.applicationId, key)
+    extract._BROADCAST_CACHE.pop(cache_key, None)
+    docs = spark.createDataFrame(
+        [("r", "p", "c", "s", "alpha beta")],
+        ["doc_sha", "repo", "path", "commit", "content"],
+    ).selectExpr("doc_sha", "repo", "path", "commit", "content")
+    extract.extract_doc_mentions(docs, gaz).count()
+    bc1 = extract._BROADCAST_CACHE.get(cache_key)
+    extract.extract_doc_mentions(docs, gaz).count()
+    assert extract._BROADCAST_CACHE.get(cache_key) is bc1

@@ -75,3 +75,25 @@ def test_feedback_hint_accumulates(spark):
     out = bounded_retry(_rows(spark), attempt, max_passes=3, with_hint=True).collect()
     assert all(r["attempts"] == 3 and r["status"] == "resolved" for r in out)
     assert all("pass1:count_mismatch;pass2:count_mismatch;" == r[HINT_COL] for r in out)
+
+
+def test_null_resolved_rows_are_not_dropped(spark):
+    """Round-3 review: a NULL `resolved` (three-valued logic) must count as
+    unresolved — previously such rows matched neither branch and vanished."""
+    from pyspark.sql import functions as F
+
+    from military_entity_extraction_based_on_large_models_spark.operators.reflect import (
+        bounded_retry,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None), ("c", 3)], ["id", "box_count"]
+    )
+
+    def attempt(pending, _pass_no):
+        # NULL box_count → NULL comparison → NULL resolved
+        return pending.withColumn("resolved", F.col("box_count") == 1)
+
+    out = bounded_retry(df, attempt, max_passes=2, with_hint=False)
+    rows = {r["id"]: r["status"] for r in out.collect()}
+    assert rows == {"a": "resolved", "b": "fallback", "c": "fallback"}

@@ -147,3 +147,44 @@ def test_train_kmeans_and_ivf_centroids(spark):
     hits = sum(len({n for (q, n) in s if q == qid} & exact[qid]) for qid in qids)
     recall = hits / sum(len(v) for v in exact.values())
     assert recall >= 0.9, recall
+
+
+def test_ivf_probe_hamming_two_and_guard(spark):
+    """Round-3 review: probe_hamming=2 was silently treated as 1."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from military_entity_extraction_based_on_large_models_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r1 = similarity.ivf_topk(emb, queries, k=5, bits=4, probe_hamming=1)
+    r2 = similarity.ivf_topk(emb, queries, k=5, bits=4, probe_hamming=2)
+    # distance-2 probing sees a superset of candidates: per-query top-5
+    # cosine at probe 2 is >= the probe-1 top-5 (more candidates, same rank)
+    s1 = {(r["query_id"], r["rank"]): r["cosine"] for r in r1.collect()}
+    s2 = {(r["query_id"], r["rank"]): r["cosine"] for r in r2.collect()}
+    assert all(s2[k] >= s1[k] - 1e-12 for k in s1 if k in s2)
+    with pytest.raises(ValueError, match="probe_hamming"):
+        similarity.ivf_topk(emb, queries, k=5, bits=4, probe_hamming=3)
+
+
+def test_train_kmeans_dimension_guards(spark):
+    import pytest
+
+    from military_entity_extraction_based_on_large_models_spark.operators import (
+        similarity,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="centroids"):
+        similarity.train_kmeans(vecs, [[1.0, 0.0]], iters=1)
+    short = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="shorter"):
+        similarity.train_kmeans(short, [[1.0, 0.0]], iters=1)

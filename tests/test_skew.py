@@ -35,3 +35,24 @@ def test_salted_distinct_count_matches_plain(spark):
     }
     assert salted == plain
     assert salted["eurofighter"] == 50
+
+
+def test_salt_is_deterministic_row_content_hash(spark):
+    """Round-3 review: monotonically_increasing_id salts are position-
+    dependent and unstable under stage retry (SPARK-23207 class); the salt
+    must be a pure function of row content."""
+    from pyspark.sql import functions as F
+
+    from military_entity_extraction_based_on_large_models_spark.operators.skew import (
+        with_salt,
+    )
+
+    df = spark.createDataFrame(
+        [("k", i) for i in range(100)], ["key", "v"]
+    )
+    a = with_salt(df, buckets=8).select("key", "v", "_salt")
+    b = with_salt(df.repartition(7), buckets=8).select("key", "v", "_salt")
+    # same content → same salt regardless of physical layout
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # and the hot key's rows still spread over multiple buckets
+    assert a.select("_salt").distinct().count() > 1
