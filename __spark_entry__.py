@@ -1265,7 +1265,7 @@ def _judge_sql(tail: str) -> str:
 
 
 _WS_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
-_WORD_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_WORD_TOKS = "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
 _STOPS = "('the','a','an','and','or','of','to','in','is','it','on','for')"
 
 
@@ -1444,7 +1444,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id, text,
                      CAST(len(text) AS DOUBLE) AS n_chars,
-                     CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+                     CAST(len(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE) AS n_punct,
                      CAST(len({_WORD_TOKS}) AS DOUBLE) AS n_words,
                      CAST(len(list_filter({_WORD_TOKS}, x -> x IN {_STOPS})) AS DOUBLE) AS n_stops,
                      CAST(len({_WS_TOKS}) AS DOUBLE) AS n_ws,

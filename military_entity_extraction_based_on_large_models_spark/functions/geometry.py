@@ -39,10 +39,14 @@ def box(xmin: Column, ymin: Column, xmax: Column, ymax: Column) -> Column:
 
 
 def area(b: Column) -> Column:
-    """(xmax-xmin)*(ymax-ymin), clamped at 0 — judge_song.py:60-67."""
-    return F.greatest(b["xmax"] - b["xmin"], F.lit(0)) * F.greatest(
+    """(xmax-xmin)*(ymax-ymin), clamped at 0 — judge_song.py:60-67.
+
+    Widened to long BEFORE the multiply: an int32 product overflows for
+    boxes past 65536px (ANSI mode — Spark 4 default — fails the job; legacy
+    mode silently wraps)."""
+    return F.greatest(b["xmax"] - b["xmin"], F.lit(0)).cast("long") * F.greatest(
         b["ymax"] - b["ymin"], F.lit(0)
-    )
+    ).cast("long")
 
 
 def iou(a: Column, b: Column) -> Column:
@@ -51,10 +55,10 @@ def iou(a: Column, b: Column) -> Column:
     iou = inter / (area_a + area_b - inter); 0 when union is 0."""
     ix = F.greatest(
         F.least(a["xmax"], b["xmax"]) - F.greatest(a["xmin"], b["xmin"]), F.lit(0)
-    )
+    ).cast("long")
     iy = F.greatest(
         F.least(a["ymax"], b["ymax"]) - F.greatest(a["ymin"], b["ymin"]), F.lit(0)
-    )
+    ).cast("long")
     inter = (ix * iy).cast("double")
     union = area(a).cast("double") + area(b).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -41,13 +41,18 @@ def token_count(col: Column) -> Column:
 
 
 def word_tokens(col: Column) -> Column:
-    """Lowercased word tokens split on non-alphanumeric runs."""
-    return F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != "")
+    """Lowercased word tokens split on non-letter/digit runs (Unicode-aware:
+    accented characters are letters, not separators — the ASCII class
+    mangled the de/fr text lang_id explicitly supports; r3 review)."""
+    return F.filter(
+        F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: t != ""
+    )
 
 
 def punct_ratio(col: Column) -> Column:
-    """Fraction of characters that are not alphanumeric/space."""
-    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    """Fraction of characters that are not letter/digit/space
+    (Unicode-aware — see word_tokens)."""
+    stripped = F.regexp_replace(col, r"[\p{L}\p{N}\s]", "")
     return F.when(
         F.length(col) > 0, F.length(stripped).cast("double") / F.length(col)
     ).otherwise(F.lit(0.0))

@@ -64,7 +64,7 @@ def manifest_for(
     """Aggregate a bucketed output frame into its per-bucket lineage manifest.
 
     ``sha_xor`` folds the per-row content shas of the OUTPUT (bit_xor of the
-    first 16 hex chars) — cheap, commutative, detects dropped/duplicated
+    first 15 hex chars — 16 could exceed signed-long range) — cheap, commutative, detects dropped/duplicated
     output rows.  ``doc_count``/``doc_sha_xor`` fold the DISTINCT doc shas of
     the INPUT slice (``input_docs``, bucketed; defaults to the output's own
     distinct keys) — comparable against a future input regardless of per-doc
@@ -126,6 +126,7 @@ def write_with_lineage(
     key: str = "doc_sha",
     input_docs: DataFrame | None = None,
     full_input: bool = False,
+    input_digests: list | None = None,
 ) -> None:
     """Idempotent partitioned write + manifest commit.
 
@@ -151,8 +152,13 @@ def write_with_lineage(
     it False when writing a ``resume_filter`` slice — untouched buckets must
     carry over.
 
-    Without ``input_docs`` the legacy dynamic-overwrite path runs (digests
-    derive from the output; zero-output buckets are invisible to it).
+    ``input_digests`` (rows of ``_doc_digest`` shape for the covered slice,
+    e.g. from :func:`resume_state`) skips the digest job here entirely — one
+    input scan per resumable run instead of two.
+
+    Without ``input_docs``/``input_digests`` the legacy dynamic-overwrite
+    path runs (digests derive from the output; zero-output buckets are
+    invisible to it).
     """
     spark = df.sparkSession
     data_dir = os.path.join(out_dir, "data")
@@ -160,9 +166,17 @@ def write_with_lineage(
     bucketed = with_bucket(df, n_buckets, key)
     prev_pinned = _read_manifest(spark, out_dir)  # already memory-pinned
 
-    if input_docs is None:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        bucketed.write.partitionBy("part_bucket").mode("overwrite").parquet(data_dir)
+    if input_docs is None and input_digests is None:
+        # per-WRITE dynamic overwrite: setting the session conf here leaked
+        # dynamic mode into every later partitioned overwrite in the session
+        # (e.g. a recompaction that shrank its partition set silently kept
+        # the stale ones — r3 review)
+        (
+            bucketed.write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_bucket")
+            .mode("overwrite")
+            .parquet(data_dir)
+        )
         written = _read_data(spark, data_dir)
         if written is None:
             current = spark.createDataFrame([], _MANIFEST_DDL)
@@ -176,10 +190,12 @@ def write_with_lineage(
         current.write.mode("overwrite").parquet(manifest_dir)
         return
 
-    bucketed_input = with_bucket(input_docs, n_buckets, key)
-    # one job over the input: per-bucket digests, collected (≤ n_buckets rows)
-    digest_df = _doc_digest(bucketed_input, key)
-    in_digests = digest_df.collect()
+    if input_digests is not None:
+        in_digests = list(input_digests)
+    else:
+        bucketed_input = with_bucket(input_docs, n_buckets, key)
+        # one job over the input: per-bucket digests (≤ n_buckets rows)
+        in_digests = _doc_digest(bucketed_input, key).collect()
     covered = sorted(r["part_bucket"] for r in in_digests)
 
     stale = set(covered)
@@ -202,7 +218,9 @@ def write_with_lineage(
     # manifest computed from what was just durably written (not the in-flight
     # frame) so the manifest can never claim more rows than the data dir holds
     written = _read_data(spark, data_dir)
-    doc_side = spark.createDataFrame(in_digests, digest_df.schema)
+    doc_side = spark.createDataFrame(
+        in_digests, "part_bucket int, doc_count bigint, doc_sha_xor bigint"
+    )
     if written is None:  # every covered bucket went empty; nothing on disk
         row_side = spark.createDataFrame(
             [], "part_bucket int, row_count bigint, sha_xor bigint"
@@ -272,6 +290,43 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> DataFrame | None:
     if m is None:
         return None
     return m.select("part_bucket", "doc_count", "doc_sha_xor")
+
+
+def resume_state(
+    docs: DataFrame,
+    out_dir: str,
+    n_buckets: int = 64,
+    key: str = "doc_sha",
+) -> tuple[DataFrame, list]:
+    """One-scan resume: (remaining bucketed docs, their per-bucket digests).
+
+    Same validated semantics as :func:`resume_filter` (a bucket is skipped
+    only when its digest matches the manifest), but the digest job runs ONCE
+    and its rows feed straight into ``write_with_lineage(input_digests=...)``
+    — a resumable run then scans the input twice (digest + pipeline) instead
+    of three times.  The bucket-set compare happens driver-side on the
+    ≤ n_buckets collected rows.
+    """
+    spark = docs.sparkSession
+    done = completed_buckets(spark, out_dir)
+    bucketed = with_bucket(docs, n_buckets, key)
+    digest_rows = _doc_digest(bucketed, key).collect()
+    committed = (
+        {
+            (r["part_bucket"], r["doc_count"], r["doc_sha_xor"])
+            for r in done.collect()
+        }
+        if done is not None
+        else set()
+    )
+    remaining_digests = [
+        r
+        for r in digest_rows
+        if (r["part_bucket"], r["doc_count"], r["doc_sha_xor"]) not in committed
+    ]
+    rem_buckets = [r["part_bucket"] for r in remaining_digests]
+    remaining = bucketed.where(F.col("part_bucket").isin(rem_buckets))
+    return remaining, remaining_digests
 
 
 def resume_filter(

@@ -74,7 +74,13 @@ def kg_pipeline(
         per_doc = extract_doc_mentions(docs, gazetteer, emit_context=False)
         return materialize_triples_from_doc_arrays(per_doc)
     mentions = extract_mentions(docs, gazetteer, emit_context=True)
-    linked = link_mentions(mentions, context_terms or CONTEXT_TERMS, ambiguous)
+    linked = link_mentions(
+        mentions,
+        # `is not None`: an explicit {} asks for pure lexicographic
+        # tie-breaking — `or` would silently substitute the military defaults
+        context_terms if context_terms is not None else CONTEXT_TERMS,
+        ambiguous,
+    )
     # no dedup_mentions stage: materialize_triples' per-doc collect_set IS the
     # (name, label) set semantics — one shuffle end-to-end instead of two
     return materialize_triples(linked)
@@ -108,7 +114,13 @@ def kg_pipeline_with_canonicalization(
         docs = with_doc_sha(docs)
     ambiguous = _ambiguous_names(gazetteer)
     mentions = extract_mentions(docs, gazetteer, emit_context=bool(ambiguous))
-    linked = link_mentions(mentions, context_terms or CONTEXT_TERMS, ambiguous)
+    linked = link_mentions(
+        mentions,
+        # `is not None`: an explicit {} asks for pure lexicographic
+        # tie-breaking — `or` would silently substitute the military defaults
+        context_terms if context_terms is not None else CONTEXT_TERMS,
+        ambiguous,
+    )
     deduped = dedup_mentions(linked)
     clusters = canonical_clusters(deduped)
     triples = materialize_triples(deduped)
@@ -140,12 +152,14 @@ def run_resumable(
     spark = docs.sparkSession
     before = lineage._read_manifest(spark, out_dir)  # noqa: SLF001
     before_rows = {tuple(r) for r in before.collect()} if before is not None else set()
-    remaining = lineage.resume_filter(docs, out_dir, n_buckets)
+    # resume_state runs the per-bucket digest ONCE and hands the rows to the
+    # writer — two input scans per run (digest + pipeline), not three
+    remaining, remaining_digests = lineage.resume_state(docs, out_dir, n_buckets)
     triples = kg_pipeline(remaining.drop("part_bucket"), gazetteer)
     # the manifest records the INPUT digest of the slice this run covered, so
     # resume validation can also vouch for docs that emitted zero triples
     lineage.write_with_lineage(
-        triples, out_dir, n_buckets, input_docs=remaining.drop("part_bucket")
+        triples, out_dir, n_buckets, input_digests=remaining_digests
     )
     after = lineage._read_manifest(spark, out_dir)  # noqa: SLF001
     after_rows = after.collect() if after is not None else []

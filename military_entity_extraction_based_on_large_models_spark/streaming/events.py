@@ -69,5 +69,8 @@ def sessionize(
 
 def stream_from_parquet_dir(spark, path: str, schema) -> DataFrame:
     """File-source stream over a parquet directory (for tests: copy files in
-    to simulate arrival)."""
-    return spark.readStream.schema(schema).parquet(path)
+    to simulate arrival).  Alias of documents.stream_documents — one
+    implementation, so option plumbing lands in one place."""
+    from .documents import stream_documents
+
+    return stream_documents(spark, path, schema)

@@ -44,6 +44,12 @@ def _dedup_group(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # expiry invocation (empty batch iterator): FREE the state.  Without
+        # this branch the timeout callback re-armed the state below, so no
+        # group ever expired and the store grew without bound (r3 review).
+        state.remove()
+        return
     seen: set[int] = set(state.get[0]) if state.exists else set()
     fresh: list[int] = []
     for pdf in batches:

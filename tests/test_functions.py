@@ -93,3 +93,30 @@ def test_vector_math(spark):
     assert math.isclose(rows[1]["c"], 1.0)
     assert math.isclose(rows[0]["l2"], math.sqrt(2))
     assert rows[2]["c"] == 0.0  # zero vector → defined 0
+
+
+def test_text_features_are_unicode_aware(spark):
+    """Round-3 review: the ASCII classes scored ordinary German/French text
+    (which lang_id explicitly supports) as punctuation-heavy garbage."""
+    import duckdb
+
+    from military_entity_extraction_based_on_large_models_spark.functions import text as T
+
+    fr = "l'école est située à côté de la gare"
+    df = spark.createDataFrame([(fr,)], ["content"])
+    row = df.select(
+        T.punct_ratio(F.col("content")).alias("pr"),
+        T.word_tokens(F.col("content")).alias("toks"),
+    ).first()
+    assert "école" in row["toks"] and "côté" in row["toks"]
+    assert row["pr"] < 0.1  # only the apostrophe counts as punctuation
+
+    # cross-engine: DuckDB's RE2 classes agree with Spark's Java classes
+    import __spark_entry__ as mod
+
+    con = duckdb.connect()
+    lit = "'" + fr.replace("'", "''") + "'"
+    o = con.execute(
+        f"SELECT {mod._WORD_TOKS.replace('lower(text)', f'lower({lit})')}"
+    ).fetchone()[0]
+    assert o == list(row["toks"])

@@ -42,3 +42,33 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
 
     rows = [r["event_id"] for r in spark.sql("select * from dedup_out").collect()]
     assert sorted(rows) == [1, 2, 3, 4, 5, 6, 7]  # each emitted exactly once
+
+
+def test_timeout_invocation_removes_state():
+    """Round-3 review: the timeout callback re-armed state instead of
+    removing it, so no group ever expired and the store grew forever."""
+    from military_entity_extraction_based_on_large_models_spark.streaming.stateful import (
+        _dedup_group,
+    )
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        removed = False
+
+        @property
+        def get(self):
+            return ([1, 2],)
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, _v):
+            raise AssertionError("timeout path must not re-arm state")
+
+        def setTimeoutDuration(self, _ms):
+            raise AssertionError("timeout path must not re-register a timeout")
+
+    st = FakeState()
+    out = list(_dedup_group((7,), iter([]), st))
+    assert out == [] and st.removed
