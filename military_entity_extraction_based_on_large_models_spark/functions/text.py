@@ -18,6 +18,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# explicit whitespace class, identical under Java regex (Spark) and RE2
+# (DuckDB oracle): Java's \s includes \x0B, RE2's does not
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+
 STOPWORDS = [
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for",
 ]
@@ -32,8 +36,9 @@ LANG_EVIDENCE: dict[str, list[str]] = {
 
 def tokens(col: Column) -> Column:
     """Whitespace tokens, empties removed (BPE-ish splitting is regex-based:
-    split on any non-word run)."""
-    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+    split on any non-word run).  The whitespace class is EXPLICIT because the
+    oracle runs on RE2, whose \\s lacks Java's vertical tab (r3 review)."""
+    return F.filter(F.split(col, WS_CLASS + "+"), lambda t: t != "")
 
 
 def token_count(col: Column) -> Column:
@@ -52,7 +57,7 @@ def word_tokens(col: Column) -> Column:
 def punct_ratio(col: Column) -> Column:
     """Fraction of characters that are not letter/digit/space
     (Unicode-aware — see word_tokens)."""
-    stripped = F.regexp_replace(col, r"[\p{L}\p{N}\s]", "")
+    stripped = F.regexp_replace(col, r"[\p{L}\p{N} \t\n\x0B\f\r]", "")
     return F.when(
         F.length(col) > 0, F.length(stripped).cast("double") / F.length(col)
     ).otherwise(F.lit(0.0))
@@ -90,8 +95,12 @@ def quality_score(col: Column) -> Column:
 
 
 def fingerprint(col: Column) -> Column:
-    """Exact-duplicate key: md5 over whitespace-normalized lowercase text."""
-    return F.md5(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "))
+    """Exact-duplicate key: md5 over whitespace-normalized lowercase text.
+
+    Collapse runs FIRST, then trim: trim() strips only ASCII spaces, so
+    trimming first left a trailing tab/newline behind as a distinct
+    fingerprint ('abc ' vs 'abc\\n' — r3 review)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), WS_CLASS + "+", " ")))
 
 
 def shingles(col: Column, n: int = 3) -> Column:
