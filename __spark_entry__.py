@@ -671,11 +671,13 @@ def q_embedding_cosine_pairs_exact(spark, sf_dir):
     )
 
 
-def _eval_frames(spark, sf_dir):
+def _judge_frames(spark, sf_dir, name_col: str, label_col: str):
     """Deterministic pred/gold eval frames (doc_key, name, label, bnd) derived
     from the part table — exercises the reference judge semantics (J2/J3/A2/A3,
     judge/judge_entity.py) with null-box, IoU, label-mismatch and missing-doc
-    cases."""
+    cases.  The SINGLE Python-side source of the derivation, parameterized on
+    the (name, label) columns (r3 review: two near-copies); the SQL twin is
+    _judge_base_sql."""
     from military_entity_extraction_based_on_large_models_spark.functions.geometry import box
 
     part = _t(spark, sf_dir, "part")
@@ -684,8 +686,8 @@ def _eval_frames(spark, sf_dir):
     gx1, gy1 = p % 20, F.expr("p_partkey DIV 20") % 20
     base = part.select(
         (p % 50).cast("bigint").alias("doc_key"),
-        F.col("p_name").alias("name"),
-        F.col("p_brand").alias("label"),
+        F.col(name_col).alias("name"),
+        F.col(label_col).alias("label"),
         p.alias("pk"),
         F.when(p % 7 != 0, box(gx1, gy1, gx1 + size, gy1 + size)).alias("gold_bnd"),
         F.when(p % 7 != 0, box(gx1 + p % 4, gy1, gx1 + size + p % 4, gy1 + size)).alias("pred_bnd"),
@@ -700,6 +702,10 @@ def _eval_frames(spark, sf_dir):
         F.col("pred_bnd").alias("bnd"),
     )
     return pred, gold
+
+
+def _eval_frames(spark, sf_dir):
+    return _judge_frames(spark, sf_dir, "p_name", "p_brand")
 
 
 def q_judge_micro_prf(spark, sf_dir):
@@ -946,30 +952,7 @@ def _song_frames(spark, sf_dir):
     """Eval frames for the max-area-representative judge (judge_song.py:32-107):
     grouped on (doc_key, p_brand, p_type) so groups genuinely hold several
     boxes (~2 avg at sf0.01) and the representative choice matters."""
-    from military_entity_extraction_based_on_large_models_spark.functions.geometry import box
-
-    part = _t(spark, sf_dir, "part")
-    p = F.col("p_partkey")
-    size = F.col("p_size") % 15 + 1
-    gx1, gy1 = p % 20, F.expr("p_partkey DIV 20") % 20
-    base = part.select(
-        (p % 50).cast("bigint").alias("doc_key"),
-        F.col("p_brand").alias("name"),
-        F.col("p_type").alias("label"),
-        p.alias("pk"),
-        F.when(p % 7 != 0, box(gx1, gy1, gx1 + size, gy1 + size)).alias("gold_bnd"),
-        F.when(p % 7 != 0, box(gx1 + p % 4, gy1, gx1 + size + p % 4, gy1 + size)).alias("pred_bnd"),
-    )
-    gold = base.where(F.col("pk") % 11 != 0).select(
-        "doc_key", "name", "label", F.col("gold_bnd").alias("bnd")
-    )
-    pred = base.select(
-        "doc_key",
-        "name",
-        F.when(F.col("pk") % 13 == 0, F.concat(F.col("label"), F.lit("_X"))).otherwise(F.col("label")).alias("label"),
-        F.col("pred_bnd").alias("bnd"),
-    )
-    return pred, gold
+    return _judge_frames(spark, sf_dir, "p_brand", "p_type")
 
 
 def q_judge_song_accuracy(spark, sf_dir):
@@ -1206,11 +1189,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (pred rank, gold rank) order per (doc_key, name, label) group, and a pair is
 # kept iff neither rank matched yet — byte-identical semantics to the Spark
 # side's aggregate fold in operators/judge.py::matched_pairs.
-_JUDGE_PREFIX = """
-            base AS (
+def _judge_base_sql(name_col: str, label_col: str, base: str = "base") -> str:
+    """base/pred/gold eval-frame CTEs — the single SQL source for the judge
+    family's frame derivation (r3 review: the derivation existed in four
+    near-copies that had to stay in lockstep; one builder per engine now)."""
+    return f"""
+            {base} AS (
               SELECT p_partkey AS pk,
                      CAST(p_partkey % 50 AS BIGINT) AS doc_key,
-                     p_name AS name, p_brand AS label,
+                     {name_col} AS name, {label_col} AS label,
                      p_size % 15 + 1 AS s,
                      p_partkey % 20 AS gx1, (p_partkey // 20) % 20 AS gy1,
                      p_partkey % 4 AS dx,
@@ -1223,15 +1210,18 @@ _JUDGE_PREFIX = """
                      CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
                      CASE WHEN nullbox THEN NULL ELSE gx1 + s + dx END AS x2,
                      CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
-              FROM base
+              FROM {base}
             ), gold AS (
               SELECT doc_key, name, label,
                      CASE WHEN nullbox THEN NULL ELSE gx1 END AS x1,
                      CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
                      CASE WHEN nullbox THEN NULL ELSE gx1 + s END AS x2,
                      CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
-              FROM base WHERE pk % 11 <> 0
-            ), pr AS (
+              FROM {base} WHERE pk % 11 <> 0
+            )"""
+
+
+_JUDGE_PREFIX = _judge_base_sql("p_name", "p_brand") + """, pr AS (
               SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
                         ORDER BY coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rnk
               FROM pred
@@ -1931,32 +1921,7 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN n_match = n_gold AND n_match = n_pred THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
             FROM per_doc
         """),
-        "judge_song_accuracy": """
-            WITH sbase AS (
-              SELECT p_partkey AS pk,
-                     CAST(p_partkey % 50 AS BIGINT) AS doc_key,
-                     p_brand AS name, p_type AS label,
-                     p_size % 15 + 1 AS s,
-                     p_partkey % 20 AS gx1, (p_partkey // 20) % 20 AS gy1,
-                     p_partkey % 4 AS dx,
-                     p_partkey % 7 = 0 AS nullbox
-              FROM part
-            ), pred AS (
-              SELECT doc_key, name,
-                     CASE WHEN pk % 13 = 0 THEN label || '_X' ELSE label END AS label,
-                     CASE WHEN nullbox THEN NULL ELSE gx1 + dx END AS x1,
-                     CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
-                     CASE WHEN nullbox THEN NULL ELSE gx1 + s + dx END AS x2,
-                     CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
-              FROM sbase
-            ), gold AS (
-              SELECT doc_key, name, label,
-                     CASE WHEN nullbox THEN NULL ELSE gx1 END AS x1,
-                     CASE WHEN nullbox THEN NULL ELSE gy1 END AS y1,
-                     CASE WHEN nullbox THEN NULL ELSE gx1 + s END AS x2,
-                     CASE WHEN nullbox THEN NULL ELSE gy1 + s END AS y2
-              FROM sbase WHERE pk % 11 <> 0
-            ), prep AS (
+        "judge_song_accuracy": "WITH " + _judge_base_sql("p_brand", "p_type", "sbase") + """, prep AS (
               SELECT * FROM (
                 SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
                   ORDER BY CASE WHEN x1 IS NULL THEN -1
