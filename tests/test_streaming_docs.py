@@ -154,3 +154,41 @@ def test_empty_micro_batch_does_not_break_history_read(spark, tmp_path):
     SD.write_batch_with_lineage(half_b, 1, out, gazetteer=VOCAB_GAZETTEER, n_buckets=4)
     got = SD.read_streamed_triples(spark, out)
     assert got.count() == kg_pipeline(half_b, VOCAB_GAZETTEER).count()
+
+
+def test_stream_kg_triples_arrow_path_matches_batch(spark, tmp_path):
+    """Same parity proof for the mapInArrow extraction regime: a dictionary
+    past EXPR_GAZETTEER_MAX routes to the Arrow stage, which must run
+    unchanged as a streaming query (mapInArrow is streaming-compatible)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.triples import (
+        EXPR_GAZETTEER_MAX,
+    )
+
+    _, half_a, _ = _doc_halves(spark)
+    # vocab aliases (which really match) + padding past the JVM-path cutoff
+    big_gaz = list(VOCAB_GAZETTEER) + [
+        (f"zz_pad_{i}", f"ent_pad{i}", "other")
+        for i in range(EXPR_GAZETTEER_MAX + 10)
+    ]
+    assert len(big_gaz) > EXPR_GAZETTEER_MAX
+
+    src = tmp_path / "src"
+    half_a.coalesce(1).write.parquet(str(src))
+    stream = SD.stream_documents(spark, str(src), half_a.schema)
+    triples = SD.stream_kg_triples(stream, big_gaz)
+    out = tmp_path / "sink"
+    q = (
+        triples.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(str(out))
+    want = kg_pipeline(half_a, big_gaz)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
