@@ -992,6 +992,26 @@ def q_judge_per_doc_errors(spark, sf_dir):
     return per_doc_errors(pred, gold)
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Token-window chunking (LLM training-window prep): 32-token chunks,
+    8-token overlap, one row per chunk with its token count.  Pure codegen
+    column expressions (functions/text.chunk_texts); the oracle replicates
+    the start-index arithmetic and slicing with DuckDB list ops."""
+    d = _t(spark, sf_dir, "documents")
+    chunked = d.select(
+        F.col("doc_id"),
+        F.posexplode(T.chunk_texts(F.col("text"), size=32, overlap=8)).alias(
+            "chunk_id", "chunk"
+        ),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "chunk",
+        F.size(F.split(F.col("chunk"), " ")).cast("bigint").alias("n_tokens"),
+    )
+
+
 def q_graph_two_hop(spark, sf_dir):
     """Neighborhood expansion over the materialized graph: entities reachable
     from each entity via two co_occurs_with hops (graph-query surface over
@@ -2080,6 +2100,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
         "mention_scores": q_mention_scores,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -2115,6 +2136,24 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.subj AS entity, b.obj AS two_hop
             FROM edges a JOIN edges b ON a.obj = b.subj
             WHERE a.subj <> b.obj
+        """,
+        # start indices 0, 24, 48, … (step = size − overlap = 24) while the
+        # start is < n_tokens; chunk = tokens[s+1 .. s+32] joined on ' '
+        "doc_chunks": f"""
+            WITH t AS (
+              SELECT doc_id, {_WS_TOKS} AS w FROM documents
+            ), starts AS (
+              SELECT doc_id, w, generate_subscripts(r, 1) - 1 AS idx, unnest(r) AS s
+              FROM (SELECT doc_id, w,
+                           list_filter(range(0, greatest(len(w), 1), 24),
+                                       x -> x < len(w)) AS r
+                    FROM t WHERE len(w) > 0)
+            )
+            SELECT doc_id,
+                   CAST(idx AS BIGINT) AS chunk_id,
+                   array_to_string(w[s + 1 : s + 32], ' ') AS chunk,
+                   CAST(len(w[s + 1 : s + 32]) AS BIGINT) AS n_tokens
+            FROM starts
         """,
         # replicates operators/scoring.default_scorer exactly (rational
         # sigmoid, pure double arithmetic — no libm exp)

@@ -11,6 +11,8 @@ DuckDB-oracle-expressible so the driver's correctness gate covers them:
 * lang_id           — tiny deterministic n-gram/stopword heuristic (its word
                       lists are arbitrary; the semantics — argmax of per-
                       language evidence counts — mirror public langid designs)
+* chunk_texts       — token-window chunking with overlap (LLM training-
+                      window prep)
 """
 
 from __future__ import annotations
@@ -150,3 +152,24 @@ def lang_id(col: Column) -> Column:
     ]
     best = F.array_max(F.array(*pairs))  # max by (n, then lang desc)
     return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def chunk_texts(col: Column, size: int = 64, overlap: int = 16) -> Column:
+    """Token-window chunks: array of strings, each ``size`` whitespace tokens,
+    consecutive chunks overlapping by ``overlap`` (the standard LLM
+    training-window prep).  Pure column expressions (codegen, no Python):
+    start indices via ``sequence`` with step size−overlap, chunk assembly via
+    ``slice`` + ``concat_ws``.  Zero-token documents produce zero chunks; a
+    final partial window is kept (training pipelines pad it downstream)."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    toks = tokens(col)
+    n = F.size(toks)
+    step = size - overlap
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    return F.when(n > 0,
+        F.transform(
+            F.filter(starts, lambda s: s < n),
+            lambda s: F.concat_ws(" ", F.slice(toks, s + 1, size)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

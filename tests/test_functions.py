@@ -120,3 +120,27 @@ def test_text_features_are_unicode_aware(spark):
         f"SELECT {mod._WORD_TOKS.replace('lower(text)', f'lower({lit})')}"
     ).fetchone()[0]
     assert o == list(row["toks"])
+
+
+def test_chunk_texts_windows(spark):
+    """Token-window chunking: step = size − overlap, final partial window
+    kept, empty docs produce no chunks."""
+    import pytest
+
+    from military_entity_extraction_based_on_large_models_spark.functions import text as T
+
+    doc = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(doc,), ("",)], ["content"])
+    rows = df.select(T.chunk_texts(F.col("content"), size=4, overlap=1).alias("c")).collect()
+    chunks = rows[0]["c"] if rows[0]["c"] else rows[1]["c"]
+    # stride 3: starts 0,3,6,9 → windows [0:4),[3:7),[6:10),[9:10)
+    assert chunks == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+        "t9",
+    ]
+    empty = rows[1]["c"] if rows[0]["c"] else rows[0]["c"]
+    assert empty == []
+    with pytest.raises(ValueError, match="overlap"):
+        T.chunk_texts(F.col("content"), size=4, overlap=4)
