@@ -1012,6 +1012,34 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_doc_packing(spark, sf_dir):
+    """Sequence packing (concat-then-split into 256-token bins, 8 shards):
+    per-shard running token offsets assign each doc to the bin its start
+    falls into — no doc split, bins overflow by at most one doc.  Explicit
+    arithmetic shard (doc_id % 8) so the oracle replicates the window."""
+    from military_entity_extraction_based_on_large_models_spark.operators.packing import (
+        pack_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    out = pack_documents(
+        d,
+        bin_tokens=256,
+        text_col="content",
+        order_col="doc_id",
+        shard=(F.col("doc_id") % 8).cast("bigint"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "bin_offset",
+        "bin_id",
+    )
+
+
 def q_graph_two_hop(spark, sf_dir):
     """Neighborhood expansion over the materialized graph: entities reachable
     from each entity via two co_occurs_with hops (graph-query surface over
@@ -2101,6 +2129,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "mention_scores": q_mention_scores,
         "doc_chunks": q_doc_chunks,
+        "doc_packing": q_doc_packing,
     }
 
 
@@ -2136,6 +2165,23 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.subj AS entity, b.obj AS two_hop
             FROM edges a JOIN edges b ON a.obj = b.subj
             WHERE a.subj <> b.obj
+        """,
+        "doc_packing": f"""
+            WITH t AS (
+              SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+                     CAST(len({_WS_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                          PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS bin_offset,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                          PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) / 256.0) AS BIGINT) AS bin_id
+            FROM t
         """,
         # start indices 0, 24, 48, … (step = size − overlap = 24) while the
         # start is < n_tokens; chunk = tokens[s+1 .. s+32] joined on ' '

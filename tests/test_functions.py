@@ -144,3 +144,44 @@ def test_chunk_texts_windows(spark):
     assert empty == []
     with pytest.raises(ValueError, match="overlap"):
         T.chunk_texts(F.col("content"), size=4, overlap=4)
+
+
+def test_pack_documents_semantics(spark):
+    """Packing invariants: per-shard offsets are the running token sums in
+    order_col order, no doc is split, and each bin's fill exceeds the budget
+    by at most one document's tokens."""
+    from collections import defaultdict
+
+    from military_entity_extraction_based_on_large_models_spark.operators.packing import (
+        pack_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 13))) for i in range(60)],
+        ["doc_id", "content"],
+    )
+    out = pack_documents(
+        docs.repartition(7), bin_tokens=20, text_col="content",
+        order_col="doc_id", shard=(F.col("doc_id") % 3).cast("bigint"),
+    ).collect()
+    assert len(out) == 60
+    by_shard = defaultdict(list)
+    for r in out:
+        by_shard[r["shard"]].append(r)
+    fills = defaultdict(int)
+    max_doc = max(r["n_tokens"] for r in out)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rows:
+            assert r["bin_offset"] == off          # running sum, in order
+            assert r["bin_id"] == off // 20        # start-offset bin
+            off += r["n_tokens"]
+            fills[(shard, r["bin_id"])] += r["n_tokens"]
+    assert all(f <= 20 + max_doc for f in fills.values())
+
+    # default hashed-shard path runs and covers every doc exactly once
+    hashed = pack_documents(docs, bin_tokens=20, text_col="content",
+                            order_col="doc_id", n_shards=4)
+    assert hashed.count() == 60
+    assert hashed.select("shard").distinct().count() <= 4
