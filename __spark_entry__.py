@@ -977,6 +977,23 @@ def q_judge_song_accuracy(spark, sf_dir):
     )
 
 
+def q_judge_song_prf(spark, sf_dir):
+    """Entity-level max-area P/R/F1 (reference judge/judge_entity_song.py:5-31
+    — the entity-level variant of the song judge): both sides collapse to
+    their max-area representative per (doc, name, label), then micro P/R/F1
+    over the representatives (judge.song_prf = max_area_gold ∘ micro_prf)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.judge import song_prf
+
+    pred, gold = _song_frames(spark, sf_dir)
+    out = song_prf(pred, gold)
+    return out.select(
+        "tp", "pred_total", "gold_total",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 def q_judge_per_doc_errors(spark, sf_dir):
     """Per-document error-analysis report (reference S6, judge_entity.py:
     141-160): sorted correct / incorrect / missed entity lists per document
@@ -1172,6 +1189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       generators; their verified compositions (dedup_*_verified) stay
       registered WITH full recall-gate oracles and exercise the generators
       as subplans.  dedup_minhash_pairs remains a bench.py headline entry.
+    * events_json (r4) — a 5-row get_json_object demo whose surface the
+      doc_* family already covers; retired to make room for judge_song_prf
+      (the reference's fifth judge surface, judge_entity_song.py).
     """
     return {
         "kg_mentions": q_kg_mentions,
@@ -1191,7 +1211,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_counts": q_rollup_order_counts,
         "iou_part_boxes": q_iou_part_boxes,
         "events_daily": q_events_daily,
-        "events_json": q_events_json,
         "events_user_sessions": q_events_user_sessions,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
@@ -1224,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_delta": q_events_value_delta,
         "judge_per_doc_errors": q_judge_per_doc_errors,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "judge_song_prf": q_judge_song_prf,
     }
 
 
@@ -1319,6 +1339,37 @@ _JUDGE_PREFIX = _judge_base_sql("p_name", "p_brand") + """, pr AS (
 
 def _judge_sql(tail: str) -> str:
     return "WITH RECURSIVE " + _JUDGE_PREFIX + tail
+
+
+# Song-judge family (judge_song.py:49-68 / judge_entity_song.py:5-31): BOTH
+# sides collapse to the max-area representative per (doc, name, label) — ties
+# break on coordinates like judge.max_area_gold — and representatives match
+# under the shared box-agreement rule.  One SQL source for the accuracy and
+# P/R/F1 variants (m = agreeing representative pairs).
+_SONG_PREFIX = "WITH " + _judge_base_sql("p_brand", "p_type", "sbase") + """, prep AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
+                  ORDER BY CASE WHEN x1 IS NULL THEN -1
+                                ELSE greatest(x2 - x1, 0) * greatest(y2 - y1, 0) END DESC,
+                           coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rn
+                FROM pred) WHERE rn = 1
+            ), grep AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
+                  ORDER BY CASE WHEN x1 IS NULL THEN -1
+                                ELSE greatest(x2 - x1, 0) * greatest(y2 - y1, 0) END DESC,
+                           coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rn
+                FROM gold) WHERE rn = 1
+            ), m AS (
+              SELECT pr.doc_key
+              FROM prep pr JOIN grep gr USING (doc_key, name, label)
+              WHERE (pr.x1 IS NULL AND gr.x1 IS NULL)
+                 OR (pr.x1 IS NOT NULL AND gr.x1 IS NOT NULL AND
+                     3.0 * (greatest(least(pr.x2, gr.x2) - greatest(pr.x1, gr.x1), 0)
+                            * greatest(least(pr.y2, gr.y2) - greatest(pr.y1, gr.y1), 0))
+                     > CAST(greatest(pr.x2 - pr.x1, 0) * greatest(pr.y2 - pr.y1, 0)
+                            + greatest(gr.x2 - gr.x1, 0) * greatest(gr.y2 - gr.y1, 0) AS DOUBLE))
+            )"""
 
 
 _WS_TOKS = "list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
@@ -1479,11 +1530,6 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY CAST(ts AS DATE), event_type
-        """,
-        "events_json": """
-            SELECT event_type,
-                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-            FROM events GROUP BY event_type
         """,
         "events_user_sessions": """
             WITH e AS (
@@ -1969,30 +2015,7 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN n_match = n_gold AND n_match = n_pred THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
             FROM per_doc
         """),
-        "judge_song_accuracy": "WITH " + _judge_base_sql("p_brand", "p_type", "sbase") + """, prep AS (
-              SELECT * FROM (
-                SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
-                  ORDER BY CASE WHEN x1 IS NULL THEN -1
-                                ELSE greatest(x2 - x1, 0) * greatest(y2 - y1, 0) END DESC,
-                           coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rn
-                FROM pred) WHERE rn = 1
-            ), grep AS (
-              SELECT * FROM (
-                SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
-                  ORDER BY CASE WHEN x1 IS NULL THEN -1
-                                ELSE greatest(x2 - x1, 0) * greatest(y2 - y1, 0) END DESC,
-                           coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rn
-                FROM gold) WHERE rn = 1
-            ), m AS (
-              SELECT pr.doc_key
-              FROM prep pr JOIN grep gr USING (doc_key, name, label)
-              WHERE (pr.x1 IS NULL AND gr.x1 IS NULL)
-                 OR (pr.x1 IS NOT NULL AND gr.x1 IS NOT NULL AND
-                     3.0 * (greatest(least(pr.x2, gr.x2) - greatest(pr.x1, gr.x1), 0)
-                            * greatest(least(pr.y2, gr.y2) - greatest(pr.y1, gr.y1), 0))
-                     > CAST(greatest(pr.x2 - pr.x1, 0) * greatest(pr.y2 - pr.y1, 0)
-                            + greatest(gr.x2 - gr.x1, 0) * greatest(gr.y2 - gr.y1, 0) AS DOUBLE))
-            ), per_doc AS (
+        "judge_song_accuracy": _SONG_PREFIX + """, per_doc AS (
               SELECT d.doc_key,
                      coalesce(p.n, 0) AS n_pred,
                      coalesce(g.n, 0) AS n_gold,
@@ -2007,6 +2030,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS total_samples,
                    round(CAST(sum(CASE WHEN n_match = n_gold AND n_match = n_pred THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
             FROM per_doc
+        """,
+        # entity-level song judge: every (doc, name, label) group holds one
+        # representative per side after the max-area collapse, so tp is just
+        # the agreeing-pair count; zero-guards mirror micro_prf exactly
+        "judge_song_prf": _SONG_PREFIX + """, counts AS (
+              SELECT (SELECT count(*) FROM m) AS tp,
+                     (SELECT count(*) FROM prep) AS pred_total,
+                     (SELECT count(*) FROM grep) AS gold_total
+            )
+            SELECT tp, pred_total, gold_total,
+                   round(CASE WHEN pred_total > 0
+                              THEN CAST(tp AS DOUBLE) / pred_total
+                              ELSE 0.0 END, 6) AS precision,
+                   round(CASE WHEN gold_total > 0
+                              THEN CAST(tp AS DOUBLE) / gold_total
+                              ELSE 0.0 END, 6) AS recall,
+                   round(CASE WHEN tp > 0 AND pred_total > 0 AND gold_total > 0
+                              THEN 2.0 * (CAST(tp AS DOUBLE) / pred_total) * (CAST(tp AS DOUBLE) / gold_total)
+                                   / (CAST(tp AS DOUBLE) / pred_total + CAST(tp AS DOUBLE) / gold_total)
+                              ELSE 0.0 END, 6) AS f1
+            FROM counts
         """,
         # the "decode" is the documented deterministic fake (operators/
         # multimodal._fake_decode): feats = first two 16-bit words of
@@ -2130,6 +2174,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_scores": q_mention_scores,
         "doc_chunks": q_doc_chunks,
         "doc_packing": q_doc_packing,
+        "events_json": q_events_json,
     }
 
 
@@ -2209,5 +2254,10 @@ def retired_oracle_sql() -> dict[str, str]:
                      AS score
             FROM documents d JOIN {GAZ_SQL}
               ON position(g.alias IN d.text) > 0
+        """,
+        "events_json": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
         """,
     }

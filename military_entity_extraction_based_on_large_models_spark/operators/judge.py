@@ -272,6 +272,16 @@ def sample_accuracy(pred: DataFrame, gold: DataFrame, docs: DataFrame) -> DataFr
     )
 
 
+def song_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Entity-level max-area P/R/F1 (judge_entity_song.py:5-31): BOTH sides
+    collapse to their max-area representative box per (doc, name, label), then
+    micro P/R/F1 over the representatives — A5 (max-by-area) composed with the
+    A2/A3 counters.  After the collapse each (doc, name, label) group holds at
+    most one row per side, so the greedy matcher degenerates to the reference's
+    single representative-pair comparison."""
+    return micro_prf(max_area_gold(pred), max_area_gold(gold))
+
+
 def max_area_gold(gold: DataFrame) -> DataFrame:
     """Representative box per (doc, name, label): max area wins
     (judge_song.py:49-68); null boxes rank as area -1 so a null representative

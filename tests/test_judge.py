@@ -171,3 +171,32 @@ def test_sample_accuracy_and_max_area(spark):
 
     rep = judge.max_area_gold(gold).where("doc_key='d2'").first()
     assert rep["bnd"]["xmax"] == 50
+
+
+def test_song_prf_entity_level(spark):
+    # d1/G36: two golds (max-area rep 0,0,50,50) vs one agreeing pred — after
+    # the collapse this is exactly 1 tp; the small gold box must NOT count.
+    gold = _frame(
+        spark,
+        [
+            ("d1", "G36", "weapon", _box(0, 0, 2, 2)),
+            ("d1", "G36", "weapon", _box(0, 0, 50, 50)),
+            ("d1", "NATO", "other", None),          # null rep, matched
+            ("d2", "F-16", "aircraft", _box(0, 0, 10, 10)),  # missed
+        ],
+    )
+    pred = _frame(
+        spark,
+        [
+            ("d1", "G36", "weapon", _box(1, 1, 51, 51)),   # IoU vs rep > 0.5
+            ("d1", "G36", "weapon", _box(40, 40, 42, 42)), # collapsed away (area 4)
+            ("d1", "NATO", "other", None),
+            ("d3", "HIMARS", "weapon", _box(0, 0, 5, 5)),  # spurious
+        ],
+    )
+    prf = judge.song_prf(pred, gold).first()
+    # reps: pred {G36 big, NATO, HIMARS} = 3, gold {G36 big, NATO, F-16} = 3
+    assert prf["pred_total"] == 3 and prf["gold_total"] == 3
+    assert prf["tp"] == 2
+    assert abs(prf["precision"] - 2 / 3) < 1e-12
+    assert abs(prf["f1"] - 2 / 3) < 1e-12
