@@ -1614,7 +1614,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT fingerprint,
                    count(*) AS dup_count,
-                   array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS dup_ids
+                   -- exact_dup_groups' documented cap: id lists only for
+                   -- groups of <= 10000 members (NULL for degenerate classes)
+                   CASE WHEN count(*) <= 10000
+                        THEN array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',')
+                        END AS dup_ids
             FROM f GROUP BY fingerprint HAVING count(*) > 1
         """,
         "dedup_simhash_verified": """

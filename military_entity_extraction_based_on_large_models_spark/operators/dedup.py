@@ -24,7 +24,7 @@ All pure DataFrame ops; no Python UDFs anywhere in this module.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -33,27 +33,56 @@ from ..plans.parallelism import scale_out
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "content", id_col: str = "doc_sha") -> DataFrame:
-    """Keep one representative per normalized-text fingerprint (min id wins —
-    deterministic).  Returns the surviving rows."""
+    """Keep one representative per normalized-text fingerprint: the row that is
+    lexicographically smallest on (id, remaining columns) — fully deterministic
+    even when ids tie (the id is often itself a content hash, so a degenerate
+    duplicate class CAN share one id across millions of rows).
+
+    Plan shape: a single ``min(struct(...))`` hash aggregate.  Min is
+    algebraic, so each map task pre-reduces every fingerprint class to one
+    candidate row before the shuffle — a corpus-scale degenerate class (empty
+    files, license boilerplate) costs one row per map task, not a one-task
+    window straggler.  (The previous ``row_number`` window serialized each
+    class on a single reducer and is never split by AQE skew handling.)"""
+    cols = docs.columns
     fp = docs.withColumn("_fp", T.fingerprint(F.col(text_col)))
-    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
-    return (
-        fp.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_fp", "_rn")
+    ordered = F.struct(id_col, *[c for c in cols if c != id_col])
+    rep = fp.groupBy("_fp").agg(F.min(ordered).alias("_rep"))
+    return rep.select(*[F.col(f"_rep.{c}").alias(c) for c in cols])
+
+
+def exact_dup_groups(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_sha",
+    max_ids: int | None = 10_000,
+) -> DataFrame:
+    """(fingerprint, dup_count, doc_ids) for groups with >1 member.
+
+    ``dup_count`` is always exact (algebraic count, map-side combine).  The
+    sorted ``doc_ids`` list is materialized only for groups of at most
+    ``max_ids`` members; a bigger group — at corpus scale a degenerate
+    duplicate class with millions of members — reports NULL instead of
+    funnelling the whole id list through one reducer (same documented-cap
+    semantic as ``pairs_from_buckets``; pass ``None`` for exhaustive lists).
+    The id collection runs only over rows semi-joined to the small dup
+    groups, so reducer memory is bounded by ``max_ids``."""
+    fpn = docs.select(
+        F.col(id_col).alias("_id"), T.fingerprint(F.col(text_col)).alias("fingerprint")
     )
-
-
-def exact_dup_groups(docs: DataFrame, text_col: str = "content", id_col: str = "doc_sha") -> DataFrame:
-    """(fingerprint, dup_count, doc_ids) for groups with >1 member."""
-    return (
-        docs.withColumn("fingerprint", T.fingerprint(F.col(text_col)))
-        .groupBy("fingerprint")
-        .agg(
-            F.count(F.lit(1)).alias("dup_count"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
-        )
+    counts = (
+        fpn.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
         .where(F.col("dup_count") > 1)
+    )
+    listable = counts if max_ids is None else counts.where(F.col("dup_count") <= max_ids)
+    ids = (
+        fpn.join(listable.select("fingerprint"), "fingerprint", "left_semi")
+        .groupBy("fingerprint")
+        .agg(F.sort_array(F.collect_list("_id")).alias("doc_ids"))
+    )
+    return counts.join(ids, "fingerprint", "left").select(
+        "fingerprint", "dup_count", "doc_ids"
     )
 
 

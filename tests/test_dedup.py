@@ -90,3 +90,41 @@ def test_pairs_from_buckets_caps_degenerate_buckets(spark):
     assert capped.count() == 1  # only the small bucket's single pair
     full = pairs_from_buckets(banded, max_bucket_size=None)
     assert full.count() == (50 * 49) // 2 + 1
+
+
+def test_exact_dedup_plan_partial_agg_no_window(spark):
+    """Scale gate (r3 verdict): the representative pick must be a partial+final
+    aggregate (map-side pre-reduction of degenerate duplicate classes), never a
+    row_number window — a window partition is one reducer task and is never
+    split by AQE skew handling."""
+    docs = _docs(spark, [BASE, BASE, "other"])
+    q = dedup.exact_dedup(docs)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    assert "Window" not in plan
+    assert "partial_min" in plan
+
+
+def test_exact_dedup_deterministic_on_tied_ids(spark):
+    # id-as-content-hash means a dup class can share ONE id; the representative
+    # must still be deterministic (lexicographic min over the remaining cols)
+    rows = [("same_sha", "dup", "pathB"), ("same_sha", "dup", "pathA"),
+            ("other", "unique", "pathC")]
+    docs = spark.createDataFrame(rows, ["doc_sha", "content", "path"])
+    out = sorted(r["path"] for r in dedup.exact_dedup(docs).collect())
+    assert out == ["pathA", "pathC"]
+
+
+def test_exact_dup_groups_degenerate_class_cap(spark):
+    """A planted 100k-member duplicate class: count stays exact, the id list is
+    NULL under the cap (never funnelled to one reducer), small groups keep
+    exact sorted lists, and exact_dedup still keeps one survivor per class."""
+    big = spark.range(100_000).select(
+        F.concat(F.lit("s"), F.col("id")).alias("doc_sha"),
+        F.lit("boilerplate license text").alias("content"),
+    )
+    docs = big.unionByName(_docs(spark, [BASE, BASE, "a unique row"]))
+    groups = {g["dup_count"]: g for g in dedup.exact_dup_groups(docs, max_ids=1000).collect()}
+    assert set(groups) == {100_000, 2}
+    assert groups[100_000]["doc_ids"] is None
+    assert groups[2]["doc_ids"] == ["d000", "d001"]
+    assert dedup.exact_dedup(docs).count() == 3
