@@ -5,10 +5,13 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
    "docs_per_sec": ..., "triples_per_sec": ...}
 
-The headline metric is total wall time of the query set; per-query seconds
-under "queries".  Throughput figures (docs/sec, triples/sec for the KG
-pipeline) and the two-parallelism scaling run live in BENCH.md — run
-`python bench.py --scaling` to produce both levels (local[8] vs local[32])
+The headline metric is total wall time of the query set measured COLD
+(first execution, codegen/JIT included — comparable with rounds <= 3);
+"warm_total_sec"/"queries_warm" report the median of 3 warm repeats per
+query, the steady-state figure comparable across rounds.  Throughput
+figures (docs/sec, triples/sec for the KG pipeline) and the
+two-parallelism scaling run live in BENCH.md — run
+`python bench.py --scaling` to produce both levels (local[4] vs local[16])
 in separate JVMs.
 """
 
@@ -61,9 +64,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+    warm_timings: dict[str, float] = {}
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     n_triples = 0
-    warm = os.environ.get("SPARK_GRAFT_WARM") == "1"
 
     # retired driver entries (correctness-registry cap) remain benchable
     queries.update(entrymod.retired_queries())
@@ -74,28 +77,42 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             return kg_pipeline(docs, VOCAB_GAZETTEER, context_terms={}).count()
         return queries[name](spark, sf_dir).count()
 
+    # cold once (first-plan codegen/JIT included), then median of 3 warm runs:
+    # cold deltas across rounds are mostly codegen noise (~4-6 s of an ~11 s
+    # headline); the warm figure is the steady-state signal comparable across
+    # rounds (r3 verdict nit #3)
     for name in HEADLINE:
-        if warm:
-            run_one(name)  # steady-state measurement: exclude JIT/codegen
         t0 = time.time()
         n = run_one(name)
         if name == "kg_pipeline":
             n_triples = n
         timings[name] = round(time.time() - t0, 3)
+        wt = []
+        for _ in range(3):
+            t0 = time.time()
+            run_one(name)
+            wt.append(time.time() - t0)
+        warm_timings[name] = round(sorted(wt)[1], 3)
 
     total = round(sum(timings.values()), 3)
+    warm_total = round(sum(warm_timings.values()), 3)
     kg_sec = timings["kg_pipeline"]
+    kg_warm = warm_timings["kg_pipeline"]
     result = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "warm_total_sec": warm_total,
+        "queries_warm": warm_timings,
         "sf": sf_dir,
         "cpus": cpus,
         "n_docs": n_docs,
         "n_triples": n_triples,
         "docs_per_sec": round(n_docs / kg_sec, 1) if kg_sec else None,
         "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec else None,
+        "docs_per_sec_warm": round(n_docs / kg_warm, 1) if kg_warm else None,
+        "triples_per_sec_warm": round(n_triples / kg_warm, 1) if kg_warm else None,
     }
     spark.stop()
     return result
