@@ -868,6 +868,28 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_features_real(spark, sf_dir):
+    """REAL image decode (r3 verdict #4): per-document synthetic 24-bit BMPs
+    (genuine spec-conformant files — headers, BGR order, bottom-up rows,
+    4-byte padding) are decoded by the dependency-free numpy BMP parser, and
+    the extracted stats are verified against a closed-form oracle on
+    (doc_id, width, height).  px00_* is the top-left pixel — stored in the
+    LAST row of a bottom-up BMP — so row order, stride, and channel-swap bugs
+    all surface.  Demotes the sha-fake decode (media_features, retired) to
+    the fallback for codec-requiring formats."""
+    from military_entity_extraction_based_on_large_models_spark.operators.multimodal import (
+        extract_image_features,
+        synthetic_bmp_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthetic_bmp_media(d, id_col="doc_id")
+    return extract_image_features(media).select(
+        "media_id", "width", "height", "n_bytes",
+        "px00_r", "px00_g", "px00_b", "mean_all",
+    )
+
+
 def q_prompt_assembly(spark, sf_dir):
     """P7 (ImageEntityExtractor.py:212-222): prompt templating as a pure
     projection, with the reference's label-conditional hint additions."""
@@ -1192,6 +1214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * events_json (r4) — a 5-row get_json_object demo whose surface the
       doc_* family already covers; retired to make room for judge_song_prf
       (the reference's fifth judge surface, judge_entity_song.py).
+    * media_features (r4) — the sha-FAKE decode plumbing, superseded in the
+      registry by media_features_real (a genuine 24-bit BMP decode); the
+      fake remains the documented fallback for codec-requiring formats.
     """
     return {
         "kg_mentions": q_kg_mentions,
@@ -1233,7 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": q_cube_counts,
         "multi_entity_docs": q_multi_entity_docs,
         "backend_fallback": q_backend_fallback,
-        "media_features": q_media_features,
+        "media_features_real": q_media_features_real,
         "prompt_assembly": q_prompt_assembly,
         "entity_frequencies": q_entity_frequencies,
         "judge_sample_accuracy": q_judge_sample_accuracy,
@@ -2056,26 +2081,34 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS f1
             FROM counts
         """,
-        # the "decode" is the documented deterministic fake (operators/
-        # multimodal._fake_decode): feats = first two 16-bit words of
-        # sha256(payload) — reproducible in SQL via hex-digit arithmetic
-        "media_features": """
-            WITH h AS (
-              SELECT CAST(doc_id AS VARCHAR) AS media_id,
-                     sha256(text) AS payload_sha,
-                     CAST(strlen(text) AS INT) AS n_bytes
+        # REAL BMP decode verified in closed form: pixel(x,y,c) of the
+        # synthetic image is (doc_id*31 + 7x + 13y + 101c) mod 256, so every
+        # stat is recomputable from (doc_id, w, h) alone; n_bytes replays the
+        # BMP size formula (54-byte headers + 4-byte-padded rows).  The grand
+        # mean divides an exact integer sum once on both engines, so the
+        # fixed-6dp strings agree bit-for-bit.
+        "media_features_real": """
+            WITH p AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id, doc_id AS seed,
+                     4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
               FROM documents
+            ), s AS (
+              SELECT media_id, seed, w, h,
+                     list_sum(flatten(flatten(
+                       list_transform(range(0, h), y ->
+                         list_transform(range(0, w), x ->
+                           list_transform(range(0, 3), c ->
+                             (seed*31 + 7*x + 13*y + 101*c) % 256)))))) AS total
+              FROM p
             )
-            SELECT media_id, payload_sha, n_bytes,
-                   CAST((strpos('0123456789abcdef', substring(payload_sha,1,1))-1)*4096
-                      + (strpos('0123456789abcdef', substring(payload_sha,2,1))-1)*256
-                      + (strpos('0123456789abcdef', substring(payload_sha,3,1))-1)*16
-                      + (strpos('0123456789abcdef', substring(payload_sha,4,1))-1) AS INT) AS feat_0,
-                   CAST((strpos('0123456789abcdef', substring(payload_sha,5,1))-1)*4096
-                      + (strpos('0123456789abcdef', substring(payload_sha,6,1))-1)*256
-                      + (strpos('0123456789abcdef', substring(payload_sha,7,1))-1)*16
-                      + (strpos('0123456789abcdef', substring(payload_sha,8,1))-1) AS INT) AS feat_1
-            FROM h
+            SELECT media_id,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(54 + h * (((w*3 + 3) // 4) * 4) AS INT) AS n_bytes,
+                   CAST((seed*31) % 256 AS INT) AS px00_r,
+                   CAST((seed*31 + 101) % 256 AS INT) AS px00_g,
+                   CAST((seed*31 + 202) % 256 AS INT) AS px00_b,
+                   printf('%.6f', CAST(total AS DOUBLE) / (w * h * 3)) AS mean_all
+            FROM s
         """,
         "reflect_retry": f"""
             WITH m AS (
@@ -2179,6 +2212,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "doc_packing": q_doc_packing,
         "events_json": q_events_json,
+        "media_features": q_media_features,
     }
 
 
@@ -2263,5 +2297,26 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
+        """,
+        # the sha-fake decode pipeline (retired in favor of the REAL BMP
+        # decode in media_features_real): feats = first two 16-bit words of
+        # sha256(payload) — reproducible in SQL via hex-digit arithmetic
+        "media_features": """
+            WITH h AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     sha256(text) AS payload_sha,
+                     CAST(strlen(text) AS INT) AS n_bytes
+              FROM documents
+            )
+            SELECT media_id, payload_sha, n_bytes,
+                   CAST((strpos('0123456789abcdef', substring(payload_sha,1,1))-1)*4096
+                      + (strpos('0123456789abcdef', substring(payload_sha,2,1))-1)*256
+                      + (strpos('0123456789abcdef', substring(payload_sha,3,1))-1)*16
+                      + (strpos('0123456789abcdef', substring(payload_sha,4,1))-1) AS INT) AS feat_0,
+                   CAST((strpos('0123456789abcdef', substring(payload_sha,5,1))-1)*4096
+                      + (strpos('0123456789abcdef', substring(payload_sha,6,1))-1)*256
+                      + (strpos('0123456789abcdef', substring(payload_sha,7,1))-1)*16
+                      + (strpos('0123456789abcdef', substring(payload_sha,8,1))-1) AS INT) AS feat_1
+            FROM h
         """,
     }

@@ -38,3 +38,86 @@ def test_resize_stub_schema(spark):
         (f.name, f.dataType) for f in media.schema.fields
     ]
     assert all(r["width"] == 224 for r in out.collect())
+
+
+# ---- REAL BMP codec (r4: dependency-free 24-bit decode) --------------------
+
+def _golden_2x2_bmp():
+    """Hand-assembled from the BMP spec (not via encode_bmp): 2x2 RGB image
+      top row:    (255,0,0) (0,255,0)
+      bottom row: (0,0,255) (10,20,30)
+    24bpp, bottom-up → bottom row stored first, BGR, rows padded 6→8 bytes."""
+    header = (
+        b"BM" + (70).to_bytes(4, "little") + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True) + (2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (16).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little", signed=True) + (2835).to_bytes(4, "little", signed=True)
+        + (0).to_bytes(4, "little") + (0).to_bytes(4, "little")
+    )
+    row_bottom = bytes([255, 0, 0, 30, 20, 10]) + b"\x00\x00"   # BGR: blue px, (10,20,30)
+    row_top = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"       # BGR: red px, green px
+    return header + row_bottom + row_top
+
+
+def test_decode_bmp_golden_bytes():
+    px = multimodal.decode_bmp(_golden_2x2_bmp())
+    assert px.shape == (2, 2, 3)
+    assert px[0, 0].tolist() == [255, 0, 0]
+    assert px[0, 1].tolist() == [0, 255, 0]
+    assert px[1, 0].tolist() == [0, 0, 255]
+    assert px[1, 1].tolist() == [10, 20, 30]
+    # the encoder writes the byte-identical file back
+    assert multimodal.encode_bmp(px) == _golden_2x2_bmp()
+
+
+def test_bmp_roundtrip_widths():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (3, 2), (4, 4), (5, 7), (16, 3)]:  # padded + unpadded strides
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = multimodal.decode_bmp(multimodal.encode_bmp(px))
+        assert (out == px).all(), (w, h)
+
+
+def test_decode_bmp_top_down_and_errors():
+    import numpy as np
+    import pytest
+
+    px = multimodal.synthetic_bmp_pixels(5, 4, 2)
+    data = bytearray(multimodal.encode_bmp(px))
+    # flip height sign → top-down storage; rows must NOT be re-flipped
+    data[22:26] = (-2).to_bytes(4, "little", signed=True)
+    top_down = multimodal.decode_bmp(bytes(data))
+    assert (top_down == px[::-1]).all()
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        multimodal.decode_bmp(b"\x89PNG not a bmp")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_bmp(multimodal.encode_bmp(px)[:-3])
+    bad_bpp = bytearray(multimodal.encode_bmp(px))
+    bad_bpp[28] = 8
+    with pytest.raises(ValueError, match="unsupported"):
+        multimodal.decode_bmp(bytes(bad_bpp))
+
+
+def test_extract_image_features_real_decode(spark):
+    import pandas as pd
+
+    px = multimodal.synthetic_bmp_pixels(42, 6, 5)
+    rows = [
+        ("g1", multimodal.encode_bmp(px)),
+        ("bad", b"JFIF-no-codec-for-this"),
+    ]
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    feats = {r["media_id"]: r for r in multimodal.extract_image_features(media).collect()}
+    g = feats["g1"]
+    assert (g["width"], g["height"]) == (6, 5)
+    assert g["n_bytes"] == 54 + 5 * 20  # stride(6)=20
+    assert g["px00_r"] == int(px[0, 0, 0]) and g["px00_b"] == int(px[0, 0, 2])
+    assert g["mean_all"] == f"{int(px.sum(dtype='int64')) / (6 * 5 * 3):.6f}"
+    assert g["error"] is None
+    # row-level containment for the genuinely-undecodable payload
+    assert feats["bad"]["error"] is not None and feats["bad"]["width"] is None
