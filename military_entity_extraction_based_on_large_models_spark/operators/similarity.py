@@ -250,6 +250,35 @@ def ivf_topk_centroids(
     )
 
 
+def sample_init(
+    df: DataFrame,
+    k: int,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Seeded deterministic init centroids for ``train_kmeans``: the k vectors
+    whose ``xxhash64(id, seed)`` is smallest — a uniform pseudo-random sample
+    that every retry and every engine reproduces exactly (no ``df.sample``,
+    whose output is partition-layout-dependent; ties on the hash break by id).
+
+    Scale shape: one top-k (TakeOrderedAndProject — per-partition heap then a
+    k-row merge at the driver), collecting k×dim floats.  This is the one-call
+    "train on a sample at 100 TB" path: ``train_kmeans(df, sample_init(df, k))``.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64("_id", F.lit(seed)).asc(), F.col("_id").asc())
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need at least k={k} vectors, found {len(rows)}")
+    return [list(map(float, r["_v"])) for r in rows]
+
+
 def train_kmeans(
     df: DataFrame,
     init_centroids: list[list[float]],

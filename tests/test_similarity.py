@@ -188,3 +188,23 @@ def test_train_kmeans_dimension_guards(spark):
     short = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
     with pytest.raises(ValueError, match="shorter"):
         similarity.train_kmeans(short, [[1.0, 0.0]], iters=1)
+
+
+def test_sample_init_deterministic_and_trains(spark):
+    """r3 verdict #8: the seeded sampling helper makes the documented 'train
+    on a sample at 100 TB' path one call — deterministic across invocations
+    (and partition layouts), different seeds draw different samples, and the
+    drawn codebook feeds train_kmeans unchanged."""
+    import pytest
+
+    emb, _queries, pts = _clustered_fixture(spark)
+    a = similarity.sample_init(emb, k=6, seed=11)
+    b = similarity.sample_init(emb.repartition(7), k=6, seed=11)
+    assert a == b and len(a) == 6 and len(a[0]) == 16
+    assert similarity.sample_init(emb, k=6, seed=12) != a
+    trained = similarity.train_kmeans(emb, a, iters=2)
+    assert len(trained) == 6 and len(trained[0]) == 16
+    with pytest.raises(ValueError, match="at least k"):
+        similarity.sample_init(emb.limit(3), k=6)
+    with pytest.raises(ValueError, match="positive"):
+        similarity.sample_init(emb, k=0)

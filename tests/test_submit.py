@@ -120,6 +120,17 @@ def test_read_documents_table_format(spark):
     assert via_table.exceptAll(docs).count() == 0
 
 
+def _iceberg_on_classpath(spark) -> bool:
+    """True iff the iceberg-spark-runtime jar is loadable in this JVM."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def test_read_documents_iceberg_guard(spark):
     import pytest
 
@@ -127,7 +138,47 @@ def test_read_documents_iceberg_guard(spark):
         read_documents,
     )
 
+    if _iceberg_on_classpath(spark):
+        pytest.skip("iceberg runtime present — guard path not reachable")
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         read_documents(spark, "/tmp/nope", source_format="iceberg")
     with pytest.raises(ValueError, match="unknown source_format"):
         read_documents(spark, "/tmp/nope", source_format="csv")
+
+
+def test_iceberg_round_trip(spark, tmp_path):
+    """input_hint round-trip through a REAL Iceberg catalog (r3 verdict #7).
+
+    Runs whenever the iceberg-spark-runtime jar is on the classpath — the day
+    this environment gains the jar, the path is exercised with zero new work;
+    until then it SKIPS (never silently passes).  Catalog configs are
+    runtime-settable, so the shared session works: a hadoop catalog over
+    tmp_path, writeTo().create(), then both readers (catalog table name and
+    path-based iceberg format) must return the identical input_hint frame."""
+    import pytest
+
+    from military_entity_extraction_based_on_large_models_spark.sources.documents import (
+        read_documents,
+        read_driver_documents,
+    )
+
+    if not _iceberg_on_classpath(spark):
+        pytest.skip(
+            "iceberg-spark-runtime jar not on the classpath in this sandbox"
+        )
+    warehouse = str(tmp_path / "warehouse")
+    spark.conf.set(
+        "spark.sql.catalog.icetest", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.icetest.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.icetest.warehouse", warehouse)
+    docs = read_driver_documents(spark, SF_DIR).drop("doc_sha")
+    docs.writeTo("icetest.db.docs").create()
+
+    via_table = read_documents(spark, "icetest.db.docs", source_format="table")
+    assert via_table.count() == docs.count()
+    via_path = read_documents(
+        spark, f"{warehouse}/db/docs", source_format="iceberg"
+    )
+    assert via_path.exceptAll(via_table).count() == 0
+    assert "doc_sha" in via_path.columns
