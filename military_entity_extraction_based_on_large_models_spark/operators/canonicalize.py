@@ -98,6 +98,47 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _split_frozen(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split the round's edge set into (active, frozen).
+
+    Loop edges always satisfy y < x (both stars orient toward the minimum),
+    so grouping by ``y`` partitions the set into candidate stars.  A group is
+    FROZEN iff it is an isolated star — no member node touches any other
+    edge: every x appears exactly once corpus-wide and never as a root, and
+    the root y never appears as a member.  An isolated star is a fixpoint of
+    the large-star/small-star alternation regardless of history (large-star
+    reconnects every member to the closed-neighborhood min = the root;
+    small-star reproduces the selves), and the alternation never creates
+    edges across components, so a frozen group can never change again —
+    removing it from the loop is exact, not approximate.
+
+    Anything weaker (per-y digest stability, per-edge checks) is UNSOUND: a
+    node shared with another group can later re-route, and its full
+    neighborhood must stay visible to large-star.
+
+    Cost: one count-by-x aggregate, a distinct of roots, and two semi/anti
+    joins — all on the shrinking active set."""
+    xs = e.groupBy(F.col("x").alias("n")).agg(F.count(F.lit(1)).alias("cx"))
+    ys = e.select(F.col("y").alias("n")).distinct().withColumn("isy", F.lit(True))
+    bad_nodes = (
+        xs.join(ys, "n", "full_outer")
+        .where((F.col("cx") > 1) | (F.col("cx").isNotNull() & F.col("isy").isNotNull()))
+        .select("n")
+    )
+    bad_groups = (
+        e.join(bad_nodes.withColumnRenamed("n", "x"), "x", "left_semi")
+        .select("y")
+        .unionByName(
+            e.join(bad_nodes.withColumnRenamed("n", "y"), "y", "left_semi").select("y")
+        )
+        .distinct()
+    )
+    return (
+        e.join(bad_groups, "y", "left_semi"),
+        e.join(bad_groups, "y", "left_anti"),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -105,6 +146,7 @@ def connected_components(
     max_iterations: int = 50,
     salt_buckets: int = DEFAULT_SALT,  # noqa: ARG001 — superseded by partial agg
     checkpoint_every: int = 1,  # noqa: ARG001 — comp is checkpointed every round
+    active_filter: bool = False,
 ) -> DataFrame:
     """Edge list (src, dst: string) → (node: string, component: string),
     component = min node id (string order) in the component.
@@ -112,6 +154,13 @@ def connected_components(
     Driver-side bounded fixpoint (the reference's own retry loop is the same
     shape, reflect_workflow2.py:96-122: bounded driver iteration over
     unresolved work).
+
+    ``active_filter=True`` freezes isolated-star components out of the loop
+    each round (``_split_frozen`` — exact, never approximate), so tail
+    rounds reprocess only the not-yet-converged subgraph instead of the full
+    edge set.  Worth it when convergence is skewed (most components finish
+    in 2-3 rounds, a few long chains need 10); costs ~3 extra small shuffles
+    per round on the shrinking active set.  A/B-measured in BENCH.md.
     """
     str_edges = (
         edges.select(F.col(src).alias("sa"), F.col(dst).alias("sb"))
@@ -141,6 +190,7 @@ def connected_components(
 
     verbose = bool(_os.environ.get("SPARK_GRAFT_CC_VERBOSE"))
     prev_digest = None
+    frozen_parts: list[DataFrame] = []
     for _round in range(max_iterations):
         _t0 = _time.time()
         # LAZY localCheckpoint: the digest agg below is the action that
@@ -150,6 +200,13 @@ def connected_components(
         e = truncate_plan_stats(
             _small_star(_large_star(e)).localCheckpoint(eager=False)
         )
+        if active_filter:
+            # frozen groups keep their lineage on this round's checkpointed
+            # frame (materialized by the active side below) and rejoin at the
+            # end; the loop continues on the shrinking active set only
+            act, frz = _split_frozen(e)
+            frozen_parts.append(frz)
+            e = truncate_plan_stats(act.localCheckpoint(eager=False))
         # multiset digest of the edge set: the alternation is monotone (the
         # potential function of the large/small-star algorithm strictly
         # decreases), so an unchanged digest IS the fixpoint — one tiny agg
@@ -165,10 +222,12 @@ def connected_components(
                 f"[cc] round {_round} {_time.time() - _t0:.1f}s digest={digest}",
                 file=_sys.stderr, flush=True,
             )
-        if digest == prev_digest:
+        if digest == prev_digest or digest[0] == 0:
             break
         prev_digest = digest
 
+    for frz in frozen_parts:
+        e = e.unionByName(frz)
     # fixpoint edges are stars (member -> root); attach isolated nodes back
     comp = e.groupBy(F.col("x").alias("node")).agg(
         F.min("y").alias("component")

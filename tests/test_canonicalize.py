@@ -60,3 +60,25 @@ def test_canonical_clusters_collapse_aliases(spark):
     comps = set(frozenset(v) for v in by_comp.values())
     assert frozenset({"F-16", "F16", "Fighting Falcon", "ent_f16"}) in comps
     assert frozenset({"HIMARS", "ent_himars"}) in comps
+
+
+def test_cc_active_filter_parity(spark):
+    """active_filter freezes isolated-star components exactly: same result as
+    the unfiltered loop on a graph mixing quick-converging stars/triangles
+    with a long chain (which stays active for many more rounds)."""
+    edges = (
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(24)]          # long chain
+        + [("hub", f"s{i}") for i in range(40)]                       # star
+        + [("t1", "t2"), ("t2", "t3"), ("t3", "t1")]                  # triangle
+        + [("iso1", "iso2")]                                          # pair
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    def comp_sets(active_filter):
+        comp = connected_components(df, active_filter=active_filter)
+        out: dict[str, set[str]] = {}
+        for r in comp.collect():
+            out.setdefault(r["component"], set()).add(r["node"])
+        return set(frozenset(v) for v in out.values())
+
+    assert comp_sets(True) == comp_sets(False)

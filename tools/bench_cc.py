@@ -47,8 +47,9 @@ def main() -> None:
     edges = rand.unionByName(hub).unionByName(chain).localCheckpoint(eager=True)
     n_edges = edges.count()
 
+    active_filter = os.environ.get("SPARK_GRAFT_CC_ACTIVE_FILTER") == "1"
     t0 = time.time()
-    comp = connected_components(edges)
+    comp = connected_components(edges, active_filter=active_filter)
     n_nodes_out = comp.count()
     n_comps = comp.select("component").distinct().count()
     wall = time.time() - t0
@@ -62,6 +63,7 @@ def main() -> None:
     )
     print(
         {
+            "active_filter": active_filter,
             "cpus": cpus,
             "edges": n_edges,
             "nodes": n_nodes_out,
