@@ -999,6 +999,49 @@ def q_judge_song_accuracy(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of (point-in-time) join — the training-data feature-attachment
+    primitive Spark lacks natively: each purchase event picks up the latest
+    click AT OR BEFORE it for the same user (NULLs when none).  One union +
+    one per-user window, no join, no row multiplication
+    (operators/temporal.asof_join).  The right side is deduped to unique
+    (user, ts) first — max event_id wins — so DuckDB's ASOF JOIN reproduces
+    the match exactly."""
+    from military_entity_extraction_based_on_large_models_spark.operators.temporal import (
+        asof_join,
+    )
+
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.col("value").alias("purchase_value")
+    )
+    clicks_w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("_rn", F.row_number().over(clicks_w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    out = asof_join(purchases, clicks, on="user_id", ts="ts", right_prefix="click_")
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+        "click_event_id",
+        F.round("click_value", 2).alias("click_value"),
+        # explicit floor: Spark's double→bigint cast truncates, DuckDB's
+        # rounds — floor() agrees on both engines (identical input doubles).
+        # NTZ→timestamp first (ANSI forbids ntz→double); the UTC shift is
+        # identical on both operands so the difference is exact
+        F.floor(
+            F.col("ts").cast("timestamp").cast("double")
+            - F.col("click_ts").cast("timestamp").cast("double")
+        ).cast("bigint").alias("staleness_sec"),
+    )
+
+
 def q_judge_song_prf(spark, sf_dir):
     """Entity-level max-area P/R/F1 (reference judge/judge_entity_song.py:5-31
     — the entity-level variant of the song judge): both sides collapse to
@@ -2213,6 +2256,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packing": q_doc_packing,
         "events_json": q_events_json,
         "media_features": q_media_features,
+        "events_asof": q_events_asof,
     }
 
 
@@ -2318,5 +2362,28 @@ def retired_oracle_sql() -> dict[str, str]:
                       + (strpos('0123456789abcdef', substring(payload_sha,7,1))-1)*16
                       + (strpos('0123456789abcdef', substring(payload_sha,8,1))-1) AS INT) AS feat_1
             FROM h
+        """,
+        # native ASOF JOIN is the independent oracle for the union+window
+        # composition; right side deduped to unique (user, ts) on both
+        # engines so the match is unambiguous
+        "events_asof": """
+            WITH clicks AS (
+              SELECT * FROM (
+                SELECT user_id, ts, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click') WHERE rn = 1
+            ), purchases AS (
+              SELECT user_id, ts, event_id AS purchase_id,
+                     value AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.purchase_id, p.user_id,
+                   round(p.purchase_value, 2) AS purchase_value,
+                   c.event_id AS click_event_id,
+                   round(c.value, 2) AS click_value,
+                   CAST(floor(epoch(p.ts) - epoch(c.ts)) AS BIGINT) AS staleness_sec
+            FROM purchases p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
     }

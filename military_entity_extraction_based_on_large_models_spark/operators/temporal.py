@@ -1,0 +1,102 @@
+"""Temporal joins: as-of (point-in-time) matching.
+
+A training-data pipeline over event streams constantly needs "the latest
+right-side row at or before this left-side row's timestamp, per key" —
+feature attachment, label joining, session stitching.  Spark has no native
+as-of join (pandas-on-Spark's merge_asof shuffles both sides into pandas);
+this is the DataFrame-native composition:
+
+* tag both sides, union them (no join!), and run ONE window per key ordered
+  by (ts, tag): a running ``last(right_payload, ignorenulls=True)`` carries
+  the most recent right row forward onto every left row.  Right rows sort
+  BEFORE left rows at equal timestamps, so a same-instant right row matches
+  (the standard ASOF ``>=`` semantic, what DuckDB's ASOF JOIN implements).
+
+Scale shape: one shuffle on the key columns + a per-key sort — strictly
+cheaper than the sort-merge join + per-row backward scan a naive range join
+produces, and with NO join at all there is no row multiplication.  Skewed
+keys concentrate a partition exactly like any per-key window; at 100 TB
+pre-bucket both inputs by the key (bucketed tables make the exchange
+vanish) and split pathological keys by time range first.
+
+Determinism: among right rows sharing (key, ts) the winner is the greatest
+payload struct (explicit secondary sort) — engine-defined tie-breaks never
+leak into results.  Matching DuckDB's ASOF JOIN exactly still requires
+unique (key, ts) on the right (DuckDB's own tie choice is unspecified);
+the driver query dedups the right side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    ts: str = "ts",
+    right_prefix: str = "r_",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right.ts <= left.ts`` sharing the ``on`` keys (NULLs when none).
+
+    Right columns (except the keys) come back prefixed with ``right_prefix``
+    — including its timestamp, so callers can compute staleness.  With
+    ``tolerance_seconds`` set, matches older than the window are nulled out
+    (pandas ``merge_asof(tolerance=...)`` semantics) — the whole payload
+    struct is dropped at once, never a half-matched row.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload_cols = [c for c in right.columns if c not in keys]
+    if ts not in right.columns:
+        raise ValueError(f"right side lacks timestamp column {ts!r}")
+    overlap = set(f"{right_prefix}{c}" for c in payload_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"prefixed right columns collide with left: {sorted(overlap)}")
+
+    payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+    left_extra = [c for c in left.columns if c not in keys]
+    r_full = right.select(
+        *keys,
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        payload.alias("_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extra],
+    )
+    l_full = left.select(
+        *keys,
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(r_full.schema["_r"].dataType).alias("_r"),
+        *left_extra,
+    )
+    unioned = r_full.unionByName(l_full)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_tag").asc(), F.col("_r").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).where(
+        F.col("_tag") == 1
+    )
+    if tolerance_seconds is not None:
+        # via "timestamp": ANSI forbids a direct TIMESTAMP_NTZ→double cast,
+        # and the UTC shift cancels between the two operands
+        fresh = (
+            F.col(f"_m.{ts}").cast("timestamp").cast("double")
+            >= F.col("_ts").cast("timestamp").cast("double")
+            - F.lit(float(tolerance_seconds))
+        )
+        matched = matched.withColumn("_m", F.when(fresh, F.col("_m")))
+    return matched.select(
+        *keys,
+        *left_extra,
+        *[
+            F.col(f"_m.{c}").alias(f"{right_prefix}{c}")
+            for c in payload_cols
+        ],
+    )

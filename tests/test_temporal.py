@@ -1,0 +1,94 @@
+"""As-of join: point-in-time semantics against hand-computed expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from military_entity_extraction_based_on_large_models_spark.operators.temporal import (
+    asof_join,
+)
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", _ts(10), "L1"),
+            ("u1", _ts(20), "L2"),
+            ("u1", _ts(5), "L0"),   # before any right row → NULL match
+            ("u2", _ts(30), "L3"),  # key with no right rows at all
+        ],
+        ["user", "ts", "lid"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts(8), "R8", 1.0),
+            ("u1", _ts(10), "R10", 2.0),  # same-instant: matches L1 (>= rule)
+            ("u1", _ts(15), "R15", 3.0),
+        ],
+        ["user", "ts", "rid", "rv"],
+    )
+    return left, right
+
+
+def test_asof_backward_equal_and_null(spark):
+    left, right = _frames(spark)
+    out = {r["lid"]: r for r in asof_join(left, right, on="user").collect()}
+    assert out["L0"]["r_rid"] is None and out["L0"]["r_rv"] is None
+    assert out["L1"]["r_rid"] == "R10"  # same-ts right row included
+    assert out["L2"]["r_rid"] == "R15"
+    assert out["L3"]["r_rid"] is None
+    # left row count preserved — as-of never multiplies rows
+    assert asof_join(left, right, on="user").count() == left.count()
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    out = {
+        r["lid"]: r
+        for r in asof_join(
+            left, right, on="user", tolerance_seconds=4
+        ).collect()
+    }
+    assert out["L1"]["r_rid"] == "R10"   # staleness 0 ≤ 4
+    assert out["L2"]["r_rid"] is None    # R15 is 5 s stale > 4
+    assert out["L2"]["r_rv"] is None     # whole payload nulled together
+
+
+def test_asof_tie_break_deterministic(spark):
+    left = spark.createDataFrame([("u", _ts(10), "L")], ["user", "ts", "lid"])
+    right = spark.createDataFrame(
+        [("u", _ts(9), "Ra", 1.0), ("u", _ts(9), "Rb", 2.0)],
+        ["user", "ts", "rid", "rv"],
+    )
+    # equal (key, ts) on the right: greatest payload struct wins, stably
+    for _ in range(3):
+        got = asof_join(left, right, on="user").first()
+        assert got["r_rid"] == "Rb"
+
+
+def test_asof_collision_guard(spark):
+    left = spark.createDataFrame([("u", _ts(1), "x")], ["user", "ts", "r_rid"])
+    right = spark.createDataFrame([("u", _ts(1), "y")], ["user", "ts", "rid"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="user")
+    with pytest.raises(ValueError, match="timestamp column"):
+        asof_join(left, right.drop("ts"), on="user")
+
+
+def test_asof_tolerance_ntz(spark):
+    # TIMESTAMP_NTZ inputs (the parquet events type): ANSI forbids ntz→double,
+    # so the tolerance arithmetic must route through a timestamp cast
+    left, right = _frames(spark)
+    leftz = left.withColumn("ts", left["ts"].cast("timestamp_ntz"))
+    rightz = right.withColumn("ts", right["ts"].cast("timestamp_ntz"))
+    out = {
+        r["lid"]: r
+        for r in asof_join(leftz, rightz, on="user", tolerance_seconds=4).collect()
+    }
+    assert out["L1"]["r_rid"] == "R10" and out["L2"]["r_rid"] is None
