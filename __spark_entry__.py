@@ -1042,6 +1042,40 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_events_range(spark, sf_dir):
+    """Binned range join (operators/temporal.range_join): clicks landing in
+    the hour BEFORE each purchase, per user — the interval-containment
+    pattern a raw inequality join would nested-loop.  Bins are hour-wide, so
+    each 1-hour interval fans out to ≤ 2 bins and the join is equi on
+    (user, bin).  Oracle: DuckDB's plain inequality join (its optimizer is
+    free to pick any strategy — the SEMANTIC is what must agree)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.temporal import (
+        range_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    intervals = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("start"),
+        F.col("ts").alias("end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = range_join(
+        clicks, intervals, on="user_id", point_ts="ts",
+        start="start", end="end", bin_seconds=3600,
+    )
+    return j.groupBy("iv_purchase_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 2).alias("click_value_sum"),
+    ).select(
+        F.col("iv_purchase_id").alias("purchase_id"),
+        "user_id", "n_clicks", "click_value_sum",
+    )
+
+
 def q_judge_song_prf(spark, sf_dir):
     """Entity-level max-area P/R/F1 (reference judge/judge_entity_song.py:5-31
     — the entity-level variant of the song judge): both sides collapse to
@@ -2257,6 +2291,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "media_features": q_media_features,
         "events_asof": q_events_asof,
+        "events_range": q_events_range,
     }
 
 
@@ -2385,5 +2420,22 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(p.ts) - epoch(c.ts)) AS BIGINT) AS staleness_sec
             FROM purchases p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        # plain inequality join as the independent oracle for the binned
+        # equi-join composition
+        "events_range": """
+            WITH purchases AS (
+              SELECT user_id, event_id AS purchase_id,
+                     ts - INTERVAL 1 HOUR AS pstart, ts AS pend
+              FROM events WHERE event_type = 'purchase'
+            ), clicks AS (
+              SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+            )
+            SELECT p.purchase_id, p.user_id,
+                   count(*) AS n_clicks,
+                   round(sum(c.value), 2) AS click_value_sum
+            FROM purchases p JOIN clicks c
+              ON c.user_id = p.user_id AND c.ts >= p.pstart AND c.ts < p.pend
+            GROUP BY 1, 2
         """,
     }

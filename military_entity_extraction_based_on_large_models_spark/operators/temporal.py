@@ -32,6 +32,72 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str] | str,
+    point_ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bin_seconds: int = 3600,
+    right_prefix: str = "iv_",
+) -> DataFrame:
+    """Interval-containment join: every (point, interval) pair sharing the
+    ``on`` keys with ``start <= point_ts < end`` — WITHOUT the
+    BroadcastNestedLoopJoin Spark plans for a raw inequality join.
+
+    Scale shape: each interval explodes into the time bins it covers
+    (``sequence`` over ``bin_seconds``-wide epochs), points map to their one
+    bin, and the join is EQUI on (keys…, bin) — sort-merge/AQE-eligible,
+    skew-splittable — with the exact containment predicate as a post-filter.
+    Fan-out is ceil(span/bin) rows per interval: pick ``bin_seconds`` near
+    the typical interval length so most intervals occupy 1-2 bins.  A raw
+    ``points.join(intervals, start <= ts < end)`` has no equi condition, so
+    Spark must nested-loop it — O(|points|·|intervals|) per key.
+
+    Interval columns return prefixed; points with no interval are dropped
+    (inner semantics — left_outer composes trivially downstream).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    iv_cols = [c for c in intervals.columns if c not in keys]
+    overlap = set(f"{right_prefix}{c}" for c in iv_cols) & set(points.columns)
+    if overlap:
+        raise ValueError(f"prefixed interval columns collide: {sorted(overlap)}")
+    if bin_seconds <= 0:
+        raise ValueError(f"bin_seconds must be positive, got {bin_seconds}")
+
+    def _epoch(c):
+        # ANSI forbids ntz→double; the timestamp hop is shift-consistent
+        return F.col(c).cast("timestamp").cast("double")
+
+    iv = intervals.select(
+        *keys,
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in iv_cols],
+        F.explode(
+            F.sequence(
+                F.floor(_epoch(start) / bin_seconds).cast("long"),
+                # end is exclusive: an end on a bin boundary must not leak
+                # into that bin.  greatest() guards degenerate (zero-length /
+                # inverted) intervals from Spark's DESCENDING sequence —
+                # they emit one candidate bin and the exact post-filter
+                # drops them
+                F.greatest(
+                    F.floor((_epoch(end) - F.lit(1e-6)) / bin_seconds).cast("long"),
+                    F.floor(_epoch(start) / bin_seconds).cast("long"),
+                ),
+            )
+        ).alias("_bin"),
+    )
+    pt = points.withColumn(
+        "_bin", F.floor(_epoch(point_ts) / bin_seconds).cast("long")
+    )
+    joined = pt.join(iv, [*keys, "_bin"]).where(
+        (_epoch(f"{right_prefix}{start}") <= _epoch(point_ts))
+        & (_epoch(point_ts) < _epoch(f"{right_prefix}{end}"))
+    )
+    return joined.drop("_bin")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

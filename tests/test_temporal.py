@@ -92,3 +92,65 @@ def test_asof_tolerance_ntz(spark):
         for r in asof_join(leftz, rightz, on="user", tolerance_seconds=4).collect()
     }
     assert out["L1"]["r_rid"] == "R10" and out["L2"]["r_rid"] is None
+
+
+# ---- binned range join -----------------------------------------------------
+
+def test_range_join_containment_and_boundaries(spark):
+    points = spark.createDataFrame(
+        [
+            ("u1", _ts(0), "P0"),    # == start → included
+            ("u1", _ts(30), "P30"),
+            ("u1", _ts(59), "P59"),
+            ("u2", _ts(30), "Pu2"),  # right key, but u2 has no interval
+        ],
+        ["user", "ts", "pid"],
+    )
+    intervals = spark.createDataFrame(
+        [("u1", _ts(0), dt.datetime(2024, 1, 1, 0, 0, 59), "I1")],
+        ["user", "start", "end", "iid"],
+    )
+    from military_entity_extraction_based_on_large_models_spark.operators.temporal import (
+        range_join,
+    )
+
+    out = range_join(
+        points, intervals, on="user", point_ts="ts", bin_seconds=10
+    )
+    got = sorted(r["pid"] for r in out.collect())
+    assert got == ["P0", "P30"]  # P59 == exclusive end → out; u2 unmatched
+
+
+def test_range_join_cross_bin_and_degenerate(spark):
+    from military_entity_extraction_based_on_large_models_spark.operators.temporal import (
+        range_join,
+    )
+
+    points = spark.createDataFrame(
+        [("u", _ts(5), "A"), ("u", _ts(25), "B"), ("u", _ts(45), "C")],
+        ["user", "ts", "pid"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("u", _ts(3), _ts(48), "WIDE"),   # spans 5 ten-second bins
+            ("u", _ts(20), _ts(20), "EMPTY"), # zero-length: must match nothing
+        ],
+        ["user", "start", "end", "iid"],
+    )
+    out = range_join(points, intervals, on="user", bin_seconds=10)
+    got = sorted((r["pid"], r["iv_iid"]) for r in out.collect())
+    assert got == [("A", "WIDE"), ("B", "WIDE"), ("C", "WIDE")]
+
+
+def test_range_join_end_on_bin_boundary_no_leak(spark):
+    from military_entity_extraction_based_on_large_models_spark.operators.temporal import (
+        range_join,
+    )
+
+    # interval ends exactly on a bin boundary: the boundary bin must not
+    # produce candidates that survive, and a point AT the boundary is out
+    points = spark.createDataFrame([("u", _ts(10), "AT_END")], ["user", "ts", "pid"])
+    intervals = spark.createDataFrame(
+        [("u", _ts(0), _ts(10), "I")], ["user", "start", "end", "iid"]
+    )
+    assert range_join(points, intervals, on="user", bin_seconds=10).count() == 0
