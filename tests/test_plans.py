@@ -172,3 +172,56 @@ def test_scale_out_local_relation_and_shuffle_passthrough(spark):
 
     shuffled = local.groupBy("x").count()
     assert scale_out(shuffled) is shuffled  # identity: no probe, no exchange
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """range_join's reason to exist: the binned composition must plan as an
+    equi join (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin), never the
+    BroadcastNestedLoopJoin a raw inequality join degenerates to."""
+    import datetime as dt
+
+    from military_entity_extraction_based_on_large_models_spark.operators.temporal import (
+        range_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame([("u", t0, 1)], ["user", "ts", "pid"])
+    intervals = spark.createDataFrame(
+        [("u", t0, t0 + dt.timedelta(hours=2), 7)],
+        ["user", "start", "end", "iid"],
+    )
+    binned = _plan(range_join(points, intervals, on="user"))
+    assert "NestedLoop" not in binned
+    assert any(j in binned for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+    # the degeneration the binning exists to avoid: with no equi component
+    # (global intervals) Spark can only nested-loop; with only a key, the
+    # merge still tests every same-key (point, interval) pair — the bin adds
+    # the missing equi dimension in both cases
+    raw = _plan(
+        points.join(
+            intervals.drop("user"),
+            (intervals.start <= points.ts) & (points.ts < intervals.end),
+        )
+    )
+    assert "NestedLoop" in raw or "CartesianProduct" in raw
+
+
+def test_asof_join_single_exchange(spark):
+    """asof_join must cost ONE shuffle (the key partition for the window) on
+    top of the inputs — no join operator, no row multiplication."""
+    import datetime as dt
+
+    from military_entity_extraction_based_on_large_models_spark.operators.temporal import (
+        asof_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([("u", t0, 1)], ["user", "ts", "lid"])
+    right = spark.createDataFrame([("u", t0, 2.0)], ["user", "ts", "rv"])
+    plan = _plan(asof_join(left, right, on="user"))
+    assert "Join" not in plan
+    n_exchanges = plan.count("Exchange")
+    # one content exchange; AQE may render it plus its shuffle-read twice in
+    # the formatted tree, so assert the count stays tiny rather than == 1
+    assert 1 <= n_exchanges <= 2, plan
