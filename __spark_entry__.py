@@ -1042,6 +1042,31 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII scrubbing (standard pre-training cleanup): emails and long digit
+    runs become typed placeholders via two codegen regexp_replace passes
+    (functions/text.scrub_pii — email first, so its digits never leak into
+    the number pass).  Each doc gets one deterministic synthetic email and
+    reference number appended so the pass provably fires on every row; the
+    oracle replays the same regexes in RE2 (shared-literal character
+    classes — no dialect-divergent shorthands)."""
+    d = _t(spark, sf_dir, "documents")
+    ref = (F.col("doc_id") * 1234567 + 890123).cast("string")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ref "), ref,
+    )
+    clean = T.scrub_pii(dirty)
+    return d.select(
+        "doc_id",
+        T.pii_count(dirty, T.PII_EMAIL).alias("n_emails"),
+        T.pii_count(dirty, T.PII_LONG_NUMBER).alias("n_numbers_raw"),
+        F.length(clean).alias("clean_len"),
+        T.pii_count(clean, T.PII_EMAIL).alias("n_emails_left"),
+    )
+
+
 def q_events_range(spark, sf_dir):
     """Binned range join (operators/temporal.range_join): clicks landing in
     the hour BEFORE each purchase, per user — the interval-containment
@@ -2292,6 +2317,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "events_asof": q_events_asof,
         "events_range": q_events_range,
+        "doc_pii_scrub": q_doc_pii_scrub,
     }
 
 
@@ -2437,5 +2463,29 @@ def retired_oracle_sql() -> dict[str, str]:
             FROM purchases p JOIN clicks c
               ON c.user_id = p.user_id AND c.ts >= p.pstart AND c.ts < p.pend
             GROUP BY 1, 2
+        """,
+        # same regex literals as functions/text.PII_* (shared character-class
+        # syntax — identical spans under Java regex and RE2); DuckDB needs
+        # the explicit 'g' flag Spark applies by default
+        "doc_pii_scrub": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com ref '
+                          || CAST(doc_id * 1234567 + 890123 AS VARCHAR) AS dirty
+              FROM documents
+            ), c AS (
+              SELECT doc_id, dirty,
+                     regexp_replace(
+                       regexp_replace(dirty, '{T.PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{T.PII_LONG_NUMBER}', '<NUM>', 'g') AS clean
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(dirty, '{T.PII_EMAIL}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(dirty, '{T.PII_LONG_NUMBER}')) AS INT) AS n_numbers_raw,
+                   CAST(strlen(clean) AS INT) AS clean_len,
+                   CAST(len(regexp_extract_all(clean, '{T.PII_EMAIL}')) AS INT) AS n_emails_left
+            FROM c
         """,
     }

@@ -173,3 +173,24 @@ def chunk_texts(col: Column, size: int = 64, overlap: int = 16) -> Column:
             lambda s: F.concat_ws(" ", F.slice(toks, s + 1, size)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# PII scrubbing patterns — shared literal character-class syntax so Java
+# regex (Spark) and RE2 (DuckDB oracle) match IDENTICAL spans; no \b, no \d
+# shorthand (dialect-divergent on Unicode), no backtracking constructs.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_LONG_NUMBER = "[0-9][0-9][0-9][0-9][0-9][0-9]+"  # >= 6 consecutive digits
+
+
+def scrub_pii(col: Column) -> Column:
+    """Replace email addresses and long digit runs (IDs, phone-ish numbers)
+    with typed placeholder tokens — the standard pre-training cleanup pass,
+    as a pure codegen expression (two regexp_replace, no Python).  Email
+    first: a scrubbed email must not leave its digits for the number pass."""
+    no_email = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(no_email, PII_LONG_NUMBER, "<NUM>")
+
+
+def pii_count(col: Column, pattern: str) -> Column:
+    """Occurrences of a PII pattern (audit metric for the scrub pass)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))

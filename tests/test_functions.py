@@ -185,3 +185,29 @@ def test_pack_documents_semantics(spark):
                             order_col="doc_id", n_shards=4)
     assert hashed.count() == 60
     assert hashed.select("shard").distinct().count() <= 4
+
+
+def test_scrub_pii(spark):
+    from military_entity_extraction_based_on_large_models_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "mail me at jane.doe+x@sub.example.org please"),
+        ("b", "card 1234567890 and pin 12345 stay"),   # 5 digits: NOT scrubbed
+        ("c", "no pii here"),
+        ("d", "two: a@b.co x@y.io and 999999"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "t"])
+    out = {
+        r["k"]: r
+        for r in df.select(
+            "k",
+            T.scrub_pii(F.col("t")).alias("clean"),
+            T.pii_count(F.col("t"), T.PII_EMAIL).alias("ne"),
+            T.pii_count(F.col("t"), T.PII_LONG_NUMBER).alias("nn"),
+        ).collect()
+    }
+    assert out["a"]["clean"] == "mail me at <EMAIL> please" and out["a"]["ne"] == 1
+    assert out["b"]["clean"] == "card <NUM> and pin 12345 stay" and out["b"]["nn"] == 1
+    assert out["c"]["clean"] == "no pii here"
+    assert out["d"]["clean"] == "two: <EMAIL> <EMAIL> and <NUM>"
