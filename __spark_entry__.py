@@ -1042,6 +1042,34 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_top_orders_per_priority(spark, sf_dir):
+    """Skew-robust exact top-k per group (operators/skew.topk_per_group):
+    top-3 orders by price per priority class via the salted two-phase
+    window — the hot-group-safe replacement for a plain row_number window
+    (which serializes each group on one task and is never split by AQE).
+    Total order (price desc, orderkey asc) makes phase-1 cuts exact; the
+    oracle is the straightforward single-window SQL."""
+    from military_entity_extraction_based_on_large_models_spark.operators.skew import (
+        topk_per_group,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    out = topk_per_group(
+        orders,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "rank",
+    )
+
+
 def q_doc_pii_scrub(spark, sf_dir):
     """PII scrubbing (standard pre-training cleanup): emails and long digit
     runs become typed placeholders via two codegen regexp_replace passes
@@ -2318,6 +2346,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_range": q_events_range,
         "doc_pii_scrub": q_doc_pii_scrub,
+        "top_orders_per_priority": q_top_orders_per_priority,
     }
 
 
@@ -2487,5 +2516,16 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(strlen(clean) AS INT) AS clean_len,
                    CAST(len(regexp_extract_all(clean, '{T.PII_EMAIL}')) AS INT) AS n_emails_left
             FROM c
+        """,
+        "top_orders_per_priority": """
+            SELECT o_orderpriority, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST(rank AS INT) AS rank
+            FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders)
+            WHERE rank <= 3
         """,
     }

@@ -61,6 +61,47 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(*final)
 
 
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    buckets: int = DEFAULT_BUCKETS,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Skew-robust exact top-k per key group, with a 1-based ``rank_col``.
+
+    A plain ``row_number`` window serializes each key group on one task — a
+    hot key (a mega-repo, a common weapon-system name) becomes the stage
+    straggler, and AQE never splits a window partition.  Two phases fix it:
+
+    1. window over (keys…, salt): the hot group's sort parallelizes across
+       ``buckets`` tasks; only each salt slice's local top-k survives;
+    2. window over (keys…) on the ≤ buckets×k survivors per key — trivially
+       small groups, exact global ranks.
+
+    EXACTNESS requires ``order_by`` to be a total order (append a unique
+    tie-break column): a row tied at the phase-1 boundary in one salt slice
+    is kept or cut by an engine-defined choice otherwise.  The salt is the
+    retry-stable content hash (see with_salt)."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    order = list(order_by)
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
+    cand = (
+        with_salt(df, buckets)
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_salt", "_rn")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return cand.withColumn(rank_col, F.row_number().over(w2)).where(
+        F.col(rank_col) <= k
+    )
+
+
 def salted_count(df: DataFrame, keys: Sequence[str], buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     """Skew-robust row count per key → (keys..., n)."""
     return salted_agg(

@@ -56,3 +56,39 @@ def test_salt_is_deterministic_row_content_hash(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     # and the hot key's rows still spread over multiple buckets
     assert a.select("_salt").distinct().count() > 1
+
+
+def test_topk_per_group_matches_plain_window(spark):
+    """Salted two-phase top-k must equal the single-window answer exactly —
+    including boundary ties resolved by the total order — on a frame with a
+    hot key (one group holds 80% of rows)."""
+    import pytest
+    from pyspark.sql import Window
+
+    from military_entity_extraction_based_on_large_models_spark.operators.skew import (
+        topk_per_group,
+    )
+
+    rows = [("hot", i, float((i * 37) % 100)) for i in range(4000)] + [
+        ("cold", i, float(i)) for i in range(50)
+    ]
+    # ties everywhere in "hot" (score has only 100 distinct values): the
+    # unique id column makes the order total, which is what exactness needs
+    df = spark.createDataFrame(rows, ["grp", "id", "score"])
+    order = [F.col("score").desc(), F.col("id").asc()]
+
+    got = {
+        (r["grp"], r["rank"]): r["id"]
+        for r in topk_per_group(df, ["grp"], order, k=5, buckets=8).collect()
+    }
+    w = Window.partitionBy("grp").orderBy(*order)
+    want = {
+        (r["grp"], r["rank"]): r["id"]
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == want and len(got) == 10
+
+    with pytest.raises(ValueError, match="positive"):
+        topk_per_group(df, ["grp"], order, k=0)
