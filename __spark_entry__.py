@@ -1347,6 +1347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * media_features (r4) — the sha-FAKE decode plumbing, superseded in the
       registry by media_features_real (a genuine 24-bit BMP decode); the
       fake remains the documented fallback for codec-requiring formats.
+    * rollup_order_counts (r4) — grouping-set family stays driver-covered
+      by cube_counts; retired to driver-gate events_asof (the as-of join,
+      verified against DuckDB's native ASOF JOIN).
     """
     return {
         "kg_mentions": q_kg_mentions,
@@ -1363,7 +1366,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_order_counts": q_outer_join_order_counts,
         "window_top_customer_per_nation": q_window_top_customer_per_nation,
         "max_by_supplier": q_max_by_supplier,
-        "rollup_order_counts": q_rollup_order_counts,
         "iou_part_boxes": q_iou_part_boxes,
         "events_daily": q_events_daily,
         "events_user_sessions": q_events_user_sessions,
@@ -1399,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "judge_per_doc_errors": q_judge_per_doc_errors,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "judge_song_prf": q_judge_song_prf,
+        "events_asof": q_events_asof,
     }
 
 
@@ -1645,12 +1648,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_nationkey, s_name AS top_supplier,
                    round(s_acctbal, 2) AS max_acctbal
             FROM r WHERE rn = 1
-        """,
-        "rollup_order_counts": """
-            SELECT o_orderstatus, o_orderpriority,
-                   count(*) AS n_orders,
-                   round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
-            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "iou_part_boxes": """
             WITH b AS (
@@ -2211,6 +2208,29 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS f1
             FROM counts
         """,
+        # native ASOF JOIN is the independent oracle for the union+window
+        # composition; right side deduped to unique (user, ts) on both
+        # engines so the match is unambiguous
+        "events_asof": """
+            WITH clicks AS (
+              SELECT * FROM (
+                SELECT user_id, ts, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click') WHERE rn = 1
+            ), purchases AS (
+              SELECT user_id, ts, event_id AS purchase_id,
+                     value AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.purchase_id, p.user_id,
+                   round(p.purchase_value, 2) AS purchase_value,
+                   c.event_id AS click_event_id,
+                   round(c.value, 2) AS click_value,
+                   CAST(floor(epoch(p.ts) - epoch(c.ts)) AS BIGINT) AS staleness_sec
+            FROM purchases p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
         # REAL BMP decode verified in closed form: pixel(x,y,c) of the
         # synthetic image is (doc_id*31 + 7x + 13y + 101c) mod 256, so every
         # stat is recomputable from (doc_id, w, h) alone; n_bytes replays the
@@ -2343,7 +2363,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packing": q_doc_packing,
         "events_json": q_events_json,
         "media_features": q_media_features,
-        "events_asof": q_events_asof,
+        "rollup_order_counts": q_rollup_order_counts,
         "events_range": q_events_range,
         "doc_pii_scrub": q_doc_pii_scrub,
         "top_orders_per_priority": q_top_orders_per_priority,
@@ -2453,28 +2473,11 @@ def retired_oracle_sql() -> dict[str, str]:
                       + (strpos('0123456789abcdef', substring(payload_sha,8,1))-1) AS INT) AS feat_1
             FROM h
         """,
-        # native ASOF JOIN is the independent oracle for the union+window
-        # composition; right side deduped to unique (user, ts) on both
-        # engines so the match is unambiguous
-        "events_asof": """
-            WITH clicks AS (
-              SELECT * FROM (
-                SELECT user_id, ts, event_id, value,
-                       row_number() OVER (PARTITION BY user_id, ts
-                                          ORDER BY event_id DESC) AS rn
-                FROM events WHERE event_type = 'click') WHERE rn = 1
-            ), purchases AS (
-              SELECT user_id, ts, event_id AS purchase_id,
-                     value AS purchase_value
-              FROM events WHERE event_type = 'purchase'
-            )
-            SELECT p.purchase_id, p.user_id,
-                   round(p.purchase_value, 2) AS purchase_value,
-                   c.event_id AS click_event_id,
-                   round(c.value, 2) AS click_value,
-                   CAST(floor(epoch(p.ts) - epoch(c.ts)) AS BIGINT) AS staleness_sec
-            FROM purchases p ASOF LEFT JOIN clicks c
-              ON p.user_id = c.user_id AND p.ts >= c.ts
+        "rollup_order_counts": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         # plain inequality join as the independent oracle for the binned
         # equi-join composition
