@@ -1070,6 +1070,34 @@ def q_top_orders_per_priority(spark, sf_dir):
     )
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Per-entity triangle counts over the undirected co-occurrence graph —
+    the standard ordered-wedge enumeration: with every edge stored once as
+    (a < b), wedges a<b<c come from joining edges on the shared middle
+    vertex and a semi-join closes them against the edge set, so each
+    triangle is enumerated exactly once.  All-integer outputs → exact
+    oracle.  At scale the classic refinement is degree-ordered orientation
+    (point each edge at the higher-degree endpoint) so hot vertices produce
+    few wedges; name order stands in here and the join shape is identical."""
+    t = _kg_base(spark, sf_dir)
+    e = (
+        t.where(F.col("pred") == "co_occurs_with")
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .distinct()
+    )
+    wedges = e.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    closing = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["a", "c"], "left_semi")
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node
+
+
 def q_doc_pii_scrub(spark, sf_dir):
     """PII scrubbing (standard pre-training cleanup): emails and long digit
     runs become typed placeholders via two codegen regexp_replace passes
@@ -2367,6 +2395,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range": q_events_range,
         "doc_pii_scrub": q_doc_pii_scrub,
         "top_orders_per_priority": q_top_orders_per_priority,
+        "graph_triangles": q_graph_triangles,
     }
 
 
@@ -2530,5 +2559,27 @@ def retired_oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rank
               FROM orders)
             WHERE rank <= 3
+        """,
+        "graph_triangles": f"""
+            WITH ment AS (
+              SELECT DISTINCT d.doc_id, g.canonical
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+              WHERE g.label <> 'location'
+            ), co AS (
+              SELECT DISTINCT a.canonical AS a, b.canonical AS b
+              FROM ment a JOIN ment b
+                ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+            ), tri AS (
+              SELECT e1.a, e1.b, e2.b AS c
+              FROM co e1 JOIN co e2 ON e1.b = e2.a
+              WHERE EXISTS (SELECT 1 FROM co e3
+                            WHERE e3.a = e1.a AND e3.b = e2.b)
+            )
+            SELECT entity, count(*) AS n_triangles
+            FROM (SELECT a AS entity FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            GROUP BY entity
         """,
     }

@@ -154,3 +154,51 @@ def test_range_join_end_on_bin_boundary_no_leak(spark):
         [("u", _ts(0), _ts(10), "I")], ["user", "start", "end", "iid"]
     )
     assert range_join(points, intervals, on="user", bin_seconds=10).count() == 0
+
+
+def test_asof_randomized_vs_pandas_merge_asof(spark):
+    """Seeded randomized cross-check against pandas.merge_asof — an
+    independent reference implementation of the backward as-of semantic
+    (unique (key, ts) per side keeps both definitions unambiguous)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(123)
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(n, tag):
+        keys = rng.integers(0, 5, n)
+        # unique per (key, ts): distinct second offsets per key
+        offs = []
+        seen = set()
+        for k in keys:
+            while True:
+                o = int(rng.integers(0, 5000))
+                if (k, o) not in seen:
+                    seen.add((k, o))
+                    offs.append(o)
+                    break
+        return pd.DataFrame(
+            {
+                "user": [f"u{k}" for k in keys],
+                "ts": [base + pd.Timedelta(seconds=o) for o in offs],
+                f"{tag}id": range(n),
+                f"{tag}v": rng.random(n).round(4),
+            }
+        )
+
+    lpdf, rpdf = mk(120, "l"), mk(80, "r")
+    want = pd.merge_asof(
+        lpdf.sort_values("ts"),
+        rpdf.sort_values("ts"),
+        on="ts",
+        by="user",
+        direction="backward",
+    )
+    got = asof_join(
+        spark.createDataFrame(lpdf), spark.createDataFrame(rpdf), on="user"
+    ).toPandas()
+
+    wmap = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid)) for r in want.itertuples()}
+    gmap = {int(r.lid): (None if pd.isna(r.r_rid) else int(r.r_rid)) for r in got.itertuples()}
+    assert gmap == wmap
