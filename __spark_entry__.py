@@ -1070,6 +1070,38 @@ def q_top_orders_per_priority(spark, sf_dir):
     )
 
 
+def q_neardup_keep_list(spark, sf_dir):
+    """The corpus-dedup endgame, end to end: MinHash-LSH candidates →
+    exact-Jaccard verification (≥ 0.9) → connected components over the
+    verified pairs (near-duplicacy is not transitive-safe pairwise; the
+    cluster is the dedup unit) → keep-list: each cluster keeps its
+    lexicographically-min doc id, members map to it.  Every stage is the
+    already-verified operator (minhash_lsh_pairs, ngram_jaccard_pairs,
+    connected_components) — this query proves they COMPOSE.  Oracle:
+    exact all-pairs Jaccard + recursive-CTE transitive closure."""
+    from military_entity_extraction_based_on_large_models_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_pairs(
+        d, text_col="text", id_col="doc_id", n_hashes=32, n_bands=8
+    )
+    verified = dedup.ngram_jaccard_pairs(
+        d, cands, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.9
+    )
+    edges = verified.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("keep"),
+        (F.col("node") == F.col("component")).alias("kept"),
+    )
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-entity triangle counts over the undirected co-occurrence graph —
     the standard ordered-wedge enumeration: with every edge stored once as
@@ -2396,6 +2428,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_doc_pii_scrub,
         "top_orders_per_priority": q_top_orders_per_priority,
         "graph_triangles": q_graph_triangles,
+        "neardup_keep_list": q_neardup_keep_list,
     }
 
 
@@ -2581,5 +2614,41 @@ def retired_oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT b FROM tri
                   UNION ALL SELECT c FROM tri)
             GROUP BY entity
+        """,
+        # exact all-pairs J >= 0.9 edges + recursive transitive closure;
+        # keep = lexicographic min of the component (VARCHAR order on both
+        # engines), matching connected_components' string-min label
+        "neardup_keep_list": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          ELSE [array_to_string(w, ' ')] END AS s
+              FROM toks
+            ), edges0 AS (
+              SELECT CAST(a.doc_id AS VARCHAR) AS a, CAST(b.doc_id AS VARCHAR) AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+            ), und AS (
+              SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0
+            ), walk AS (
+              SELECT a AS node, b AS reached FROM und
+              UNION
+              SELECT w.node, u.b
+              FROM walk w JOIN und u ON u.a = w.reached
+              WHERE u.b <> w.node
+            )
+            SELECT node AS doc_id,
+                   CASE WHEN min(reached) < node THEN min(reached) ELSE node END AS keep,
+                   CASE WHEN min(reached) < node THEN FALSE ELSE TRUE END AS kept
+            FROM walk GROUP BY node
         """,
     }
