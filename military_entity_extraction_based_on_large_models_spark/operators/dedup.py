@@ -44,7 +44,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "content", id_col: str = "doc_s
     files, license boilerplate) costs one row per map task, not a one-task
     window straggler.  (The previous ``row_number`` window serialized each
     class on a single reducer and is never split by AQE skew handling.)"""
+    from pyspark.sql.types import MapType
+
     cols = docs.columns
+    unorderable = [
+        f.name for f in docs.schema.fields if isinstance(f.dataType, MapType)
+    ]
+    if unorderable:
+        # min(struct) needs an orderable row; fail with the fix, not with
+        # Spark's analyzer error on the internal struct
+        raise ValueError(
+            f"exact_dedup cannot order map-typed columns {unorderable}; "
+            "drop them or convert with map_entries() first"
+        )
     fp = docs.withColumn("_fp", T.fingerprint(F.col(text_col)))
     ordered = F.struct(id_col, *[c for c in cols if c != id_col])
     rep = fp.groupBy("_fp").agg(F.min(ordered).alias("_rep"))

@@ -65,6 +65,8 @@ def range_join(
         raise ValueError(f"prefixed interval columns collide: {sorted(overlap)}")
     if bin_seconds <= 0:
         raise ValueError(f"bin_seconds must be positive, got {bin_seconds}")
+    if "_bin" in points.columns or "_bin" in intervals.columns:
+        raise ValueError("'_bin' collides with range_join internals")
 
     def _epoch(c):
         # ANSI forbids ntz→double; the timestamp hop is shift-consistent
@@ -122,6 +124,9 @@ def asof_join(
     overlap = set(f"{right_prefix}{c}" for c in payload_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"prefixed right columns collide with left: {sorted(overlap)}")
+    reserved = {"_ts", "_tag", "_r", "_m"} & set(left.columns) - set(keys)
+    if reserved:
+        raise ValueError(f"left columns collide with internals: {sorted(reserved)}")
 
     payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
     left_extra = [c for c in left.columns if c not in keys]

@@ -128,3 +128,13 @@ def test_exact_dup_groups_degenerate_class_cap(spark):
     assert groups[100_000]["doc_ids"] is None
     assert groups[2]["doc_ids"] == ["d000", "d001"]
     assert dedup.exact_dedup(docs).count() == 3
+
+
+def test_exact_dedup_map_column_guard(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [("d1", "x", {"k": "v"})], ["doc_sha", "content", "meta"]
+    )
+    with pytest.raises(ValueError, match="map-typed"):
+        dedup.exact_dedup(docs)

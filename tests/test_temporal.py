@@ -202,3 +202,20 @@ def test_asof_randomized_vs_pandas_merge_asof(spark):
     wmap = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid)) for r in want.itertuples()}
     gmap = {int(r.lid): (None if pd.isna(r.r_rid) else int(r.r_rid)) for r in got.itertuples()}
     assert gmap == wmap
+
+
+def test_internal_column_guards(spark):
+    import pytest
+
+    left = spark.createDataFrame([("u", _ts(1), 1)], ["user", "ts", "_tag"])
+    right = spark.createDataFrame([("u", _ts(1), 1.0)], ["user", "ts", "rv"])
+    with pytest.raises(ValueError, match="internals"):
+        asof_join(left, right, on="user")
+    from military_entity_extraction_based_on_large_models_spark.operators.temporal import (
+        range_join,
+    )
+
+    pts = spark.createDataFrame([("u", _ts(1), 0)], ["user", "ts", "_bin"])
+    iv = spark.createDataFrame([("u", _ts(0), _ts(2), 1)], ["user", "start", "end", "iid"])
+    with pytest.raises(ValueError, match="_bin"):
+        range_join(pts, iv, on="user")
