@@ -219,3 +219,52 @@ def test_internal_column_guards(spark):
     iv = spark.createDataFrame([("u", _ts(0), _ts(2), 1)], ["user", "start", "end", "iid"])
     with pytest.raises(ValueError, match="_bin"):
         range_join(pts, iv, on="user")
+
+
+def test_range_join_randomized_vs_bruteforce(spark):
+    """Seeded randomized equivalence: binned equi-join composition vs the
+    direct O(n*m) containment scan in pandas, across bin widths that divide
+    and don't divide the interval lengths."""
+    import numpy as np
+    import pandas as pd
+
+    from military_entity_extraction_based_on_large_models_spark.operators.temporal import (
+        range_join,
+    )
+
+    rng = np.random.default_rng(77)
+    base = pd.Timestamp("2024-01-01")
+    pts = pd.DataFrame(
+        {
+            "user": [f"u{k}" for k in rng.integers(0, 4, 150)],
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 2000, 150)],
+            "pid": range(150),
+        }
+    )
+    starts = rng.integers(0, 1900, 40)
+    spans = rng.integers(0, 400, 40)  # includes zero-length
+    ivs = pd.DataFrame(
+        {
+            "user": [f"u{k}" for k in rng.integers(0, 4, 40)],
+            "start": [base + pd.Timedelta(seconds=int(s)) for s in starts],
+            "end": [base + pd.Timedelta(seconds=int(s + w)) for s, w in zip(starts, spans)],
+            "iid": range(40),
+        }
+    )
+    want = {
+        (int(p.pid), int(i.iid))
+        for p in pts.itertuples()
+        for i in ivs.itertuples()
+        if p.user == i.user and i.start <= p.ts < i.end
+    }
+    for bin_seconds in (60, 128, 1000):
+        got = {
+            (int(r["pid"]), int(r["iv_iid"]))
+            for r in range_join(
+                spark.createDataFrame(pts),
+                spark.createDataFrame(ivs),
+                on="user",
+                bin_seconds=bin_seconds,
+            ).collect()
+        }
+        assert got == want, bin_seconds
