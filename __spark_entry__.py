@@ -1070,6 +1070,42 @@ def q_top_orders_per_priority(spark, sf_dir):
     )
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Repetition quality features (public Gopher-style rules, over n-grams
+    since synthetic/web text often lacks line structure): duplicate-5-gram
+    fraction and top-bigram fraction, both pure bound-once column
+    expressions (functions/text.dup_ngram_frac / top_ngram_frac)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(T.dup_ngram_frac(F.col("text"), 5), 6).alias("dup_5gram_frac"),
+        F.round(T.top_ngram_frac(F.col("text"), 2), 6).alias("top_bigram_frac"),
+    )
+
+
+def q_doc_decontam(spark, sf_dir):
+    """Benchmark decontamination: flag documents sharing any word 8-gram
+    with the eval set (here: every doc_id % 100 == 0 doc — the eval docs
+    flag themselves, proving true positives).  Scale shape: the eval-set
+    gram table is tiny → broadcast semi-join against the exploded corpus
+    grams; the corpus side never collects."""
+    d = _t(spark, sf_dir, "documents")
+    grams = lambda df: df.select(  # noqa: E731 — local plan builder
+        "doc_id", F.explode(T.shingles(F.col("text"), 8)).alias("gram")
+    )
+    bench_grams = grams(d.where(F.col("doc_id") % 100 == 0)).select("gram").distinct()
+    flagged = (
+        grams(d)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return d.select("doc_id").join(flagged, "doc_id", "left").select(
+        "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )
+
+
 def q_neardup_keep_list(spark, sf_dir):
     """The corpus-dedup endgame, end to end: MinHash-LSH candidates →
     exact-Jaccard verification (≥ 0.9) → connected components over the
@@ -2429,6 +2465,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_priority": q_top_orders_per_priority,
         "graph_triangles": q_graph_triangles,
         "neardup_keep_list": q_neardup_keep_list,
+        "doc_repetition": q_doc_repetition,
+        "doc_decontam": q_doc_decontam,
     }
 
 
@@ -2650,5 +2688,55 @@ def retired_oracle_sql() -> dict[str, str]:
                    CASE WHEN min(reached) < node THEN min(reached) ELSE node END AS keep,
                    CASE WHEN min(reached) < node THEN FALSE ELSE TRUE END AS kept
             FROM walk GROUP BY node
+        """,
+        # n-gram MULTISETS (duplicates kept) mirror functions/text.ngram_list;
+        # short docs collapse to one whole-text pseudo-gram on both engines
+        "doc_repetition": f"""
+            WITH t AS (
+              SELECT doc_id, {_WORD_TOKS} AS w FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 5
+                          THEN list_transform(range(1, len(w) - 3),
+                                 i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])
+                          ELSE [array_to_string(w, ' ')] END AS g5,
+                     CASE WHEN len(w) >= 2
+                          THEN list_transform(range(1, len(w)),
+                                 i -> w[i]||' '||w[i+1])
+                          ELSE [array_to_string(w, ' ')] END AS g2
+              FROM t
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(g5) > 0
+                              THEN 1.0 - CAST(len(list_distinct(g5)) AS DOUBLE) / len(g5)
+                              ELSE 0.0 END, 6) AS dup_5gram_frac,
+                   round(CASE WHEN len(g2) > 0
+                              THEN CAST(list_max(list_transform(list_distinct(g2),
+                                     d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE)
+                                   / len(g2)
+                              ELSE 0.0 END, 6) AS top_bigram_frac
+            FROM g
+        """,
+        # eval-set grams as a scalar-subquery list; shingles (DISTINCT
+        # 8-grams) mirror functions/text.shingles incl. the short-doc
+        # whole-text fallback
+        "doc_decontam": f"""
+            WITH t AS (
+              SELECT doc_id, {_WORD_TOKS} AS w FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 8
+                          THEN list_distinct(list_transform(range(1, len(w) - 6),
+                                 i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '
+                                      ||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))
+                          ELSE [array_to_string(w, ' ')] END AS g
+              FROM t
+            ), bench AS (
+              SELECT list_distinct(flatten(list(g))) AS grams
+              FROM sh WHERE doc_id % 100 = 0
+            )
+            SELECT doc_id,
+                   list_has_any(g, b.grams) AS contaminated
+            FROM sh, bench b
         """,
     }

@@ -194,3 +194,63 @@ def scrub_pii(col: Column) -> Column:
 def pii_count(col: Column, pattern: str) -> Column:
     """Occurrences of a PII pattern (audit metric for the scrub pass)."""
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def ngram_list(col: Column, n: int) -> Column:
+    """Word n-gram MULTISET — order preserved, duplicates kept (the
+    repetition-feature input; ``shingles`` dedups for Jaccard/minhash).
+    Docs shorter than n tokens yield their whole token string as the one
+    pseudo-gram, mirroring ``shingles``' fallback."""
+    toks = word_tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def _bind_once(arr: Column, body) -> Column:
+    """Evaluate the array expression ONCE and pass it to ``body`` as a bound
+    lambda VALUE — every plain-Column reference would re-evaluate the whole
+    expression per use (higher-order functions sit outside codegen and CSE;
+    same hazard minhash_band_buckets documents)."""
+    return F.get(F.transform(F.array(arr), body), 0)
+
+
+def dup_ngram_frac(col: Column, n: int = 5) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier one —
+    1 - distinct/total (0.0 for docs shorter than n tokens).  The
+    repetition signal of the public Gopher-style quality rules, over
+    n-grams instead of lines (synthetic corpora and much web text carry no
+    newline structure)."""
+
+    def body(grams):
+        total = F.size(grams)
+        return F.when(
+            total > 0,
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return _bind_once(ngram_list(col, n), body)
+
+
+def top_ngram_frac(col: Column, n: int = 2) -> Column:
+    """Fraction of all word n-grams taken by the single most frequent one
+    (Gopher's top-n-gram rule).  Per distinct gram, count its occurrences
+    with a filter scan — O(d·t) per row on per-document-small arrays; the
+    gram array is bound once."""
+
+    def body(grams):
+        total = F.size(grams)
+        counts = F.transform(
+            F.array_distinct(grams),
+            lambda d: F.size(F.filter(grams, lambda x: x == d)),
+        )
+        return F.when(
+            total > 0,
+            F.array_max(counts).cast("double") / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return _bind_once(ngram_list(col, n), body)
