@@ -287,10 +287,25 @@ def simhash(docs: DataFrame, text_col: str = "content", id_col: str = "doc_sha",
 
 
 def simhash_neardup_pairs(
-    docs: DataFrame, text_col: str = "content", id_col: str = "doc_sha", n_bands: int = 4
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_sha",
+    n_bands: int = 4,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any 16-bit simhash band (Hamming-
-    distance blocking, Manku-Jain-Sarma style)."""
+    distance blocking, Manku-Jain-Sarma style).
+
+    ``max_hamming`` adds the second half of the Manku design: candidate
+    pairs are kept only when the FULL 64-bit signatures differ in at most
+    that many bits — one xor + popcount per pair over an 8-byte join, so
+    the expensive downstream verify (shingle-array Jaccard) touches a far
+    smaller set.  On low-entropy corpora band collisions are weakly
+    selective (9% of all pairs at sf0.1) and this filter is the difference
+    between verifying 232k pairs and 2k.  None (default) keeps the pure
+    banding semantics — the Hamming cap is probabilistic (a J >= 0.9 pair
+    can exceed it), so the pigeonhole recall guarantee only covers pairs
+    within the cap."""
     sh = simhash(docs, text_col, id_col)
     width = 64 // n_bands
     band_buckets = F.array(
@@ -302,7 +317,19 @@ def simhash_neardup_pairs(
         ]
     )
     banded = sh.select("id", F.posexplode(band_buckets).alias("band", "bucket"))
-    return pairs_from_buckets(banded)
+    cand = pairs_from_buckets(banded)
+    if max_hamming is not None:
+        sa = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("_ha"))
+        sb = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("_hb"))
+        cand = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .where(
+                F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= max_hamming
+            )
+            .select("id_a", "id_b")
+        )
+    return cand
 
 
 def embedding_neardup_pairs(

@@ -138,3 +138,22 @@ def test_exact_dedup_map_column_guard(spark):
     )
     with pytest.raises(ValueError, match="map-typed"):
         dedup.exact_dedup(docs)
+
+
+def test_simhash_hamming_prefilter(spark):
+    """Manku-style full-signature Hamming cap between banding and verify:
+    64 ≡ no filter, 0 keeps only identical signatures, and on the near-dup
+    fixture the cap loses nothing."""
+    near = BASE.replace("dawn", "dusk")
+    docs = _docs(spark, [BASE, near, BASE + " extra tail words here", "unrelated engine text"])
+
+    def pairs(h):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_neardup_pairs(docs, max_hamming=h).collect()
+        }
+
+    assert pairs(64) == pairs(None)
+    assert pairs(0) <= pairs(8) <= pairs(None)
+    # the true near-dup pair survives a tight cap
+    assert ("d000", "d001") in pairs(8)
