@@ -107,6 +107,7 @@ def asof_join(
     ts: str = "ts",
     right_prefix: str = "r_",
     tolerance_seconds: float | None = None,
+    bucket_seconds: float | None = None,
 ) -> DataFrame:
     """For every left row, attach the latest right row with
     ``right.ts <= left.ts`` sharing the ``on`` keys (NULLs when none).
@@ -116,6 +117,18 @@ def asof_join(
     ``tolerance_seconds`` set, matches older than the window are nulled out
     (pandas ``merge_asof(tolerance=...)`` semantics) — the whole payload
     struct is dropped at once, never a half-matched row.
+
+    ``bucket_seconds`` is the hot-key scale path: the window partitions by
+    (key, time-bucket) instead of key — a hot key's timeline parallelizes
+    across its buckets instead of serializing on one task (a window
+    partition is never split by AQE) — and bucket-boundary correctness
+    comes from a carry pass: per (key, bucket), the latest right row is an
+    algebraic ``max(struct(ts, payload))`` (map-side partial agg), and a
+    per-key window over the TINY bucket-summary frame (rows = #buckets)
+    propagates the latest summary from strictly-earlier buckets; a left
+    row's match is its within-bucket match, else the carry.  Exact for any
+    bucket width — identical results to the unbucketed path (tested
+    randomized); choose a width that gives hot keys many buckets.
     """
     keys = [on] if isinstance(on, str) else list(on)
     payload_cols = [c for c in right.columns if c not in keys]
@@ -124,9 +137,13 @@ def asof_join(
     overlap = set(f"{right_prefix}{c}" for c in payload_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"prefixed right columns collide with left: {sorted(overlap)}")
-    reserved = {"_ts", "_tag", "_r", "_m"} & set(left.columns) - set(keys)
+    reserved = {"_ts", "_tag", "_r", "_m", "_bkt", "_s", "_cs"} & set(
+        left.columns
+    ) - set(keys)
     if reserved:
         raise ValueError(f"left columns collide with internals: {sorted(reserved)}")
+    if bucket_seconds is not None and bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
 
     payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
     left_extra = [c for c in left.columns if c not in keys]
@@ -146,14 +163,48 @@ def asof_join(
     )
     unioned = r_full.unionByName(l_full)
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), F.col("_tag").asc(), F.col("_r").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).where(
-        F.col("_tag") == 1
-    )
+    order = [F.col("_ts").asc(), F.col("_tag").asc(), F.col("_r").asc_nulls_first()]
+    if bucket_seconds is None:
+        w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        matched = unioned.withColumn(
+            "_m", F.last("_r", ignorenulls=True).over(w)
+        ).where(F.col("_tag") == 1)
+    else:
+        bucketed = unioned.withColumn(
+            "_bkt",
+            F.floor(
+                F.col("_ts").cast("timestamp").cast("double") / bucket_seconds
+            ).cast("long"),
+        )
+        w_in = Window.partitionBy(*keys, "_bkt").orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        in_bucket = bucketed.withColumn("_m", F.last("_r", ignorenulls=True).over(w_in))
+        # bucket summaries: latest right row per (key, bucket) — algebraic
+        # struct-max (ts leads, payload breaks ties, matching the window's
+        # order); left-only buckets keep a NULL summary row so the carry
+        # join below still finds them
+        summaries = bucketed.groupBy(*keys, "_bkt").agg(
+            F.max(
+                F.when(
+                    F.col("_tag") == 0,
+                    F.struct(F.col("_ts").alias("t"), F.col("_r").alias("r")),
+                )
+            ).alias("_s")
+        )
+        w_carry = Window.partitionBy(*keys).orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        carry = summaries.select(
+            *keys, "_bkt", F.max("_s").over(w_carry).alias("_cs")
+        )
+        matched = (
+            in_bucket.where(F.col("_tag") == 1)
+            .join(carry, [*keys, "_bkt"], "left")
+            .withColumn("_m", F.coalesce(F.col("_m"), F.col("_cs.r")))
+        )
     if tolerance_seconds is not None:
         # via "timestamp": ANSI forbids a direct TIMESTAMP_NTZ→double cast,
         # and the UTC shift cancels between the two operands

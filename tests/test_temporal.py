@@ -268,3 +268,43 @@ def test_range_join_randomized_vs_bruteforce(spark):
             ).collect()
         }
         assert got == want, bin_seconds
+
+
+def test_asof_bucketed_equals_unbucketed(spark):
+    """The hot-key bucketed path must be EXACT: same answers as the plain
+    per-key window for bucket widths smaller than, comparable to, and larger
+    than the data span — including buckets where a key has only left rows
+    (carry from strictly-earlier buckets) and same-instant matches."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame(
+        {
+            "user": [f"u{k}" for k in rng.integers(0, 3, 200)],
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.choice(20000, 200, replace=False)],
+            "lid": range(200),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "user": [f"u{k}" for k in rng.integers(0, 3, 60)],
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.choice(20000, 60, replace=False)],
+            "rid": range(60),
+        }
+    )
+    l, r = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+
+    def result(**kw):
+        return {
+            r_["lid"]: r_["r_rid"]
+            for r_ in asof_join(l, r, on="user", **kw).collect()
+        }
+
+    want = result()
+    for bucket in (60, 1000, 10**6):
+        assert result(bucket_seconds=bucket) == want, bucket
+    # tolerance composes with bucketing identically
+    want_tol = result(tolerance_seconds=500)
+    assert result(tolerance_seconds=500, bucket_seconds=300) == want_tol
