@@ -1,0 +1,163 @@
+"""Regenerate PLANS.md: formatted physical plans of the plans we gate on.
+
+Each section pairs a short claim (what the plan must show, and which test
+enforces it) with the actual `explain("formatted")` output at sf0.001, so a
+reviewer can audit plan shape without a Spark session.
+
+Run: python tools/dump_plans.py   (rewrites PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main() -> None:
+    from military_entity_extraction_based_on_large_models_spark.operators import (
+        dedup,
+        similarity,
+    )
+    from military_entity_extraction_based_on_large_models_spark.operators.skew import (
+        topk_per_group,
+    )
+    from military_entity_extraction_based_on_large_models_spark.operators.temporal import (
+        asof_join,
+        range_join,
+    )
+    from military_entity_extraction_based_on_large_models_spark.plans.pipeline import (
+        kg_pipeline,
+    )
+    from military_entity_extraction_based_on_large_models_spark.session import get_spark
+    from military_entity_extraction_based_on_large_models_spark.sources.documents import (
+        read_driver_documents,
+    )
+    from military_entity_extraction_based_on_large_models_spark.sources.gazetteer import (
+        VOCAB_GAZETTEER,
+    )
+
+    spark = get_spark(shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = read_driver_documents(spark, SF_DIR)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("cid"), "value"
+    )
+    intervals = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("start"),
+        F.col("ts").alias("end"),
+        F.col("event_id").alias("iid"),
+    )
+
+    sections = [
+        (
+            "Flagship KG pipeline (small gazetteer → pure-JVM containment path)",
+            "Claim: at most ONE exchange (the scale_out input repartition); no "
+            "Python stage; whole-stage codegen spans the filter/projection.  "
+            "Gate: tests/test_plans.py::test_flagship_pipeline_zero_shuffle.",
+            kg_pipeline(docs, VOCAB_GAZETTEER, context_terms={}),
+        ),
+        (
+            "MinHash-LSH candidate pairs",
+            "Claim: the signature is ONE expression evaluated once per row; "
+            "bands via a single posexplode; one groupBy shuffle; columnar "
+            "triangular pair generation (no self-join).  "
+            "Gate: warm timings + r1 plan review (dedup.py docstrings).",
+            dedup.minhash_lsh_pairs(d, text_col="text", id_col="doc_id"),
+        ),
+        (
+            "As-of join (default per-key window)",
+            "Claim: NO join operator; one content exchange for the key "
+            "window; left row count preserved.  "
+            "Gate: tests/test_plans.py::test_asof_join_single_exchange.",
+            asof_join(purchases, clicks, on="user_id"),
+        ),
+        (
+            "As-of join (bucket_seconds=3600 hot-key path)",
+            "Claim: windows partition by (key, bucket); the carry side is an "
+            "algebraic partial+final aggregate over bucket summaries plus a "
+            "tiny per-key window; one equi join back on (key, bucket).",
+            asof_join(purchases, clicks, on="user_id", bucket_seconds=3600),
+        ),
+        (
+            "Range join (binned)",
+            "Claim: equi SortMergeJoin/BHJ on (key, bin) — never "
+            "CartesianProduct/BroadcastNestedLoopJoin.  "
+            "Gate: tests/test_plans.py::test_range_join_is_equi_not_nested_loop.",
+            range_join(clicks, intervals, on="user_id"),
+        ),
+        (
+            "Skew-robust top-k per group",
+            "Claim: two window phases — (keys, salt) then keys on ≤ buckets·k "
+            "survivors; no single-partition window over a hot group.  "
+            "Gate: tests/test_skew.py::test_topk_per_group_matches_plain_window.",
+            topk_per_group(
+                orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+                ["o_orderpriority"],
+                [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+                k=3,
+            ),
+        ),
+        (
+            "Exact dedup representative pick",
+            "Claim: partial_min + final min HashAggregate/SortAggregate — no "
+            "Window (a window partition is one reducer and AQE never splits "
+            "it).  Gate: tests/test_dedup.py::"
+            "test_exact_dedup_plan_partial_agg_no_window.",
+            dedup.exact_dedup(d.select("doc_id", "text"), text_col="text", id_col="doc_id"),
+        ),
+        (
+            "ANN LSH top-k (bucketed candidate join)",
+            "Claim: candidate generation is an equi join on bucket ids "
+            "(broadcast of the exploded probe buckets), followed by one "
+            "top-k window — never an all-pairs cross join.",
+            similarity.lsh_topk(
+                emb,
+                emb.limit(4).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                ),
+                k=5,
+            ),
+        ),
+    ]
+
+    stamp = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d %H:%MZ")
+    out = [
+        "# PLANS — formatted physical plans of the gated operators",
+        "",
+        f"Generated by `python tools/dump_plans.py` at {stamp} on sf0.001, "
+        "`local[32]`, shuffle_partitions=8.  Regenerate after plan-affecting "
+        "changes; the claims are enforced by the named tests, this file just "
+        "makes them reviewable without a Spark session.",
+        "",
+    ]
+    for title, claim, df in sections:
+        out += [f"## {title}", "", claim, "", "```", plan(df).rstrip(), "```", ""]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md written,", len(sections), "sections")
+
+
+if __name__ == "__main__":
+    main()
