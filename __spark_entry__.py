@@ -1070,6 +1070,20 @@ def q_top_orders_per_priority(spark, sf_dir):
     )
 
 
+def q_kg_ntriples(spark, sf_dir):
+    """RDF N-Triples export of the materialized KG (operators/triples.
+    to_ntriples): byte-exact line serialization verified against a DuckDB
+    string-assembly oracle over the same triple derivation."""
+    from military_entity_extraction_based_on_large_models_spark.operators.triples import (
+        to_ntriples,
+    )
+
+    t = _kg_base(spark, sf_dir).where(
+        F.col("pred").isin("instance_of", "located_in")
+    )
+    return to_ntriples(t)
+
+
 def q_doc_repetition(spark, sf_dir):
     """Repetition quality features (public Gopher-style rules, over n-grams
     since synthetic/web text often lacks line structure): duplicate-5-gram
@@ -2467,6 +2481,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_keep_list": q_neardup_keep_list,
         "doc_repetition": q_doc_repetition,
         "doc_decontam": q_doc_decontam,
+        "kg_ntriples": q_kg_ntriples,
     }
 
 
@@ -2688,6 +2703,31 @@ def retired_oracle_sql() -> dict[str, str]:
                    CASE WHEN min(reached) < node THEN min(reached) ELSE node END AS keep,
                    CASE WHEN min(reached) < node THEN FALSE ELSE TRUE END AS kept
             FROM walk GROUP BY node
+        """,
+        # one line per (doc, triple) occurrence — the base frame's
+        # multiplicity; esc() is the serializer's literal replace chain
+        "kg_ntriples": f"""
+            WITH m AS (
+              SELECT DISTINCT d.doc_id, g.canonical, g.label
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+            ), lines AS (
+              SELECT '<http://example.org/entity/'
+                     || replace(replace(replace(replace(canonical, ' ', '%20'), '<', '%3C'), '>', '%3E'), '"', '%22')
+                     || '> <http://example.org/rel/instance_of> <http://example.org/entity/'
+                     || replace(replace(replace(replace(label, ' ', '%20'), '<', '%3C'), '>', '%3E'), '"', '%22')
+                     || '> .' AS ntriple
+              FROM m
+              UNION ALL
+              SELECT '<http://example.org/entity/'
+                     || replace(replace(replace(replace(a.canonical, ' ', '%20'), '<', '%3C'), '>', '%3E'), '"', '%22')
+                     || '> <http://example.org/rel/located_in> <http://example.org/entity/'
+                     || replace(replace(replace(replace(b.canonical, ' ', '%20'), '<', '%3C'), '>', '%3E'), '"', '%22')
+                     || '> .'
+              FROM m a JOIN m b ON a.doc_id = b.doc_id
+              WHERE a.label <> 'location' AND b.label = 'location'
+            )
+            SELECT ntriple FROM lines
         """,
         # n-gram MULTISETS (duplicates kept) mirror functions/text.ngram_list;
         # short docs collapse to one whole-text pseudo-gram on both engines

@@ -266,3 +266,30 @@ def materialize_triples_from_doc_arrays(per_doc_mentions: DataFrame) -> DataFram
         )
     )
     return _explode_triples(ok, ents)
+
+
+def to_ntriples(triples: DataFrame, base_iri: str = "http://example.org/") -> DataFrame:
+    """Serialize (subj, pred, obj) rows as RDF N-Triples lines — the
+    interchange export beside the Iceberg/parquet graph-table sink, so the
+    materialized KG loads into any triple store.
+
+    Pure codegen string assembly (one projection, no shuffle, scales
+    trivially).  IRI escaping covers the characters our identifiers can
+    carry (space, angle brackets, quote) via literal replaces kept
+    deliberately simple so the DuckDB oracle reproduces the byte-exact
+    lines; all three positions serialize as resources (subjects/objects are
+    canonical entity ids, not free literals).  Columns: (ntriple)."""
+
+    def esc(c):
+        out = F.col(c)
+        for ch, enc in ((" ", "%20"), ("<", "%3C"), (">", "%3E"), ('"', "%22")):
+            out = F.replace(out, F.lit(ch), F.lit(enc))
+        return out
+
+    line = F.concat(
+        F.lit(f"<{base_iri}entity/"), esc("subj"),
+        F.lit(f"> <{base_iri}rel/"), esc("pred"),
+        F.lit(f"> <{base_iri}entity/"), esc("obj"),
+        F.lit("> ."),
+    )
+    return triples.select(line.alias("ntriple"))

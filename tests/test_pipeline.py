@@ -420,3 +420,19 @@ def test_full_input_crash_window_never_vouches_deleted_buckets(
     data = spark.read.parquet(out + "/data")
     assert {r["subj"] for r in data.collect()} == {"s2"}
     assert lineage.resume_filter(only_d2, out, n_buckets=4).count() == 0
+
+
+def test_to_ntriples_escaping(spark):
+    from military_entity_extraction_based_on_large_models_spark.operators.triples import (
+        to_ntriples,
+    )
+
+    t = spark.createDataFrame(
+        [("ent a", "instance_of", 'we<ird">obj')], ["subj", "pred", "obj"]
+    )
+    line = to_ntriples(t).first()["ntriple"]
+    assert line == (
+        "<http://example.org/entity/ent%20a> "
+        "<http://example.org/rel/instance_of> "
+        "<http://example.org/entity/we%3Cird%22%3Eobj> ."
+    )
