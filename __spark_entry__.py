@@ -1070,6 +1070,21 @@ def q_top_orders_per_priority(spark, sf_dir):
     )
 
 
+def q_doc_len_quantiles(spark, sf_dir):
+    """Exact token-count quantiles via the discrete histogram method
+    (operators/stats.exact_discrete_quantiles) — the reproducible
+    curation-threshold counterpart to percentile_approx's sketch; the
+    type-1 boundary is a pure integer comparison so the oracle matches
+    bit-for-bit."""
+    from military_entity_extraction_based_on_large_models_spark.operators.stats import (
+        exact_discrete_quantiles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select(T.token_count(F.col("text")).alias("n_tokens"))
+    return exact_discrete_quantiles(lens, "n_tokens", (25, 50, 75, 95))
+
+
 def q_kg_ntriples(spark, sf_dir):
     """RDF N-Triples export of the materialized KG (operators/triples.
     to_ntriples): byte-exact line serialization verified against a DuckDB
@@ -2482,6 +2497,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_decontam": q_doc_decontam,
         "kg_ntriples": q_kg_ntriples,
+        "doc_len_quantiles": q_doc_len_quantiles,
     }
 
 
@@ -2703,6 +2719,27 @@ def retired_oracle_sql() -> dict[str, str]:
                    CASE WHEN min(reached) < node THEN min(reached) ELSE node END AS keep,
                    CASE WHEN min(reached) < node THEN FALSE ELSE TRUE END AS kept
             FROM walk GROUP BY node
+        """,
+        # type-1 quantiles via the same integer boundary test (cum*100 >=
+        # k*n) over the token-count histogram
+        "doc_len_quantiles": f"""
+            WITH t AS (
+              SELECT CAST(len({_WS_TOKS}) AS INT) AS v FROM documents
+            ), h AS (
+              SELECT v, count(*) AS c FROM t GROUP BY v
+            ), cum AS (
+              SELECT v,
+                     sum(c) OVER (ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+                     sum(c) OVER () AS n
+              FROM h
+            )
+            SELECT min(CASE WHEN cm * 100 >= 25 * n THEN v END) AS p25,
+                   min(CASE WHEN cm * 100 >= 50 * n THEN v END) AS p50,
+                   min(CASE WHEN cm * 100 >= 75 * n THEN v END) AS p75,
+                   min(CASE WHEN cm * 100 >= 95 * n THEN v END) AS p95,
+                   CAST(max(n) AS BIGINT) AS n
+            FROM cum HAVING max(n) IS NOT NULL
         """,
         # one line per (doc, triple) occurrence — the base frame's
         # multiplicity; esc() is the serializer's literal replace chain
