@@ -1167,6 +1167,41 @@ def q_neardup_keep_list(spark, sf_dir):
     )
 
 
+def q_graph_degrees(spark, sf_dir):
+    """Per-entity degree + local clustering coefficient over the undirected
+    co-occurrence graph: degree from one explode+groupBy; clustering = 2T /
+    (d(d-1)) joins the triangle counts (q_graph_triangles' wedge plan) onto
+    the degree frame — the hub/bridge diagnostic read before choosing skew
+    treatments.  All-integer inputs; the ratio rounds at 6dp on both
+    engines."""
+    t = _kg_base(spark, sf_dir)
+    e = (
+        t.where(F.col("pred") == "co_occurs_with")
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = q_graph_triangles(spark, sf_dir)
+    out = deg.join(tri, "entity", "left").select(
+        "entity",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("degree") > 1,
+                2.0 * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering"),
+    )
+    return out
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-entity triangle counts over the undirected co-occurrence graph —
     the standard ordered-wedge enumeration: with every edge stored once as
@@ -2498,6 +2533,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontam": q_doc_decontam,
         "kg_ntriples": q_kg_ntriples,
         "doc_len_quantiles": q_doc_len_quantiles,
+        "graph_degrees": q_graph_degrees,
     }
 
 
@@ -2683,6 +2719,41 @@ def retired_oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT b FROM tri
                   UNION ALL SELECT c FROM tri)
             GROUP BY entity
+        """,
+        # degree + local clustering 2T/(d(d-1)) over the same edge derivation
+        "graph_degrees": f"""
+            WITH ment AS (
+              SELECT DISTINCT d.doc_id, g.canonical
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+              WHERE g.label <> 'location'
+            ), co AS (
+              SELECT DISTINCT a.canonical AS a, b.canonical AS b
+              FROM ment a JOIN ment b
+                ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+            ), deg AS (
+              SELECT entity, count(*) AS degree
+              FROM (SELECT a AS entity FROM co UNION ALL SELECT b FROM co)
+              GROUP BY entity
+            ), tri AS (
+              SELECT e1.a, e1.b, e2.b AS c
+              FROM co e1 JOIN co e2 ON e1.b = e2.a
+              WHERE EXISTS (SELECT 1 FROM co e3
+                            WHERE e3.a = e1.a AND e3.b = e2.b)
+            ), tcount AS (
+              SELECT entity, count(*) AS n_triangles
+              FROM (SELECT a AS entity FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri)
+              GROUP BY entity
+            )
+            SELECT d.entity, d.degree,
+                   coalesce(t.n_triangles, 0) AS n_triangles,
+                   round(CASE WHEN d.degree > 1
+                              THEN 2.0 * coalesce(t.n_triangles, 0)
+                                   / (d.degree * (d.degree - 1))
+                              ELSE 0.0 END, 6) AS clustering
+            FROM deg d LEFT JOIN tcount t ON t.entity = d.entity
         """,
         # exact all-pairs J >= 0.9 edges + recursive transitive closure;
         # keep = lexicographic min of the component (VARCHAR order on both
