@@ -57,6 +57,26 @@ from military_entity_extraction_based_on_large_models_spark.sources.gazetteer im
 
 GAZ_SQL = gazetteer_values_sql(VOCAB_GAZETTEER)
 
+# BPE merge rules learned ONCE by operators/bpe.train_bpe_merges on the
+# sf0.001 documents corpus (n_merges=60, max_words=2000) and FROZEN here:
+# the DuckDB oracle is a literal replace-chain over these rules, so they
+# must be static text — the same stance as VOCAB_GAZETTEER.  Re-derivable:
+# tests/test_bpe.py retrains and asserts equality with this list.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
+    ("s", "can"), ("c", "o"), ("co", "lu"), ("colu", "m"), ("colum", "n"),
+    ("d", "ow"), ("in", "dow"), ("w", "indow"), ("d", "er"), ("or", "der"),
+    ("or", "t"), ("s", "ort"), ("par", "t"), ("u", "p"), ("a", "g"),
+    ("ag", "g"), ("a", "lu"), ("alu", "e"), ("v", "alue"), ("in", "e"),
+    ("l", "ine"), ("e", "y"), ("k", "ey"), ("j", "o"), ("jo", "in"),
+    ("g", "e"), ("mer", "ge"), ("er", "y"), ("g", "r"), ("gr", "o"),
+    ("gro", "up"), ("q", "u"), ("qu", "ery"), ("c", "t"), ("ct", "or"),
+    ("e", "ctor"), ("v", "ector"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("l", "ow"), ("s", "low"), ("a", "m"), ("e", "am"), ("r", "eam"),
+    ("st", "ream"), ("f", "i"), ("fi", "l"),
+]
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -978,20 +998,18 @@ def _song_frames(spark, sf_dir):
 
 
 def q_judge_song_accuracy(spark, sf_dir):
-    """Max-area-representative sample accuracy (judge_song.py:32-107,
-    workflow3's 111/120 = 0.925 judge): BOTH sides collapse to their max-area
-    box per (doc, name, label), then all-or-nothing per-document accuracy —
-    A5 (max-by-area) composed with the A2/A3 counters."""
+    """Max-area-representative sample accuracy with the reference's exact
+    counting (judge_song.py:32-107, workflow3's 111/120 = 0.925 judge): only
+    the GOLD side collapses to its max-area representative per (doc, name,
+    label); a doc is correct iff every gold group is matched by ANY pred
+    agreeing with its representative; spurious preds are ignored and the doc
+    universe is the gold side's (judge.song_accuracy)."""
     from military_entity_extraction_based_on_large_models_spark.operators.judge import (
-        max_area_gold,
-        sample_accuracy,
+        song_accuracy,
     )
 
     pred, gold = _song_frames(spark, sf_dir)
-    pred_rep = max_area_gold(pred)
-    gold_rep = max_area_gold(gold)
-    docs = pred.select("doc_key").unionByName(gold.select("doc_key")).distinct()
-    out = sample_accuracy(pred_rep, gold_rep, docs)
+    out = song_accuracy(pred, gold)
     return out.select(
         "correct_samples",
         "total_samples",
@@ -1290,10 +1308,12 @@ def q_events_range(spark, sf_dir):
 
 
 def q_judge_song_prf(spark, sf_dir):
-    """Entity-level max-area P/R/F1 (reference judge/judge_entity_song.py:5-31
-    — the entity-level variant of the song judge): both sides collapse to
-    their max-area representative per (doc, name, label), then micro P/R/F1
-    over the representatives (judge.song_prf = max_area_gold ∘ micro_prf)."""
+    """Entity-level max-area P/R/F1 with the reference's exact counting
+    (judge/judge_entity_song.py:38-125): totals count ALL rows uncollapsed,
+    only gold collapses to its max-area representative, a group matches on
+    ANY agreeing pred, and tp credits the full gold group size
+    (judge.song_prf; the r4 both-sides-collapsed variant was ADVICE-flagged
+    as diverging from the reference surface it claimed)."""
     from military_entity_extraction_based_on_large_models_spark.operators.judge import song_prf
 
     pred, gold = _song_frames(spark, sf_dir)
@@ -1339,6 +1359,22 @@ def q_doc_chunks(spark, sf_dir):
         "chunk",
         F.size(F.split(F.col("chunk"), " ")).cast("bigint").alias("n_tokens"),
     )
+
+
+def q_doc_bpe_tokens(spark, sf_dir):
+    """Real learned-subword tokenization (operators/bpe — the engine's
+    replacement for the reference's pretrained GLM-4 tokenizer,
+    SFT/glm4_lora.py:31): the FROZEN corpus-trained merge rules
+    (BPE_MERGES) applied Arrow-batched with a per-executor word cache,
+    emitting the full token sequence and its count per document.  Oracle:
+    the identical rules as a literal nested replace() chain — bit-exact,
+    full-sequence equality, not just counts."""
+    from military_entity_extraction_based_on_large_models_spark.operators.bpe import (
+        bpe_token_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_token_stats(d, BPE_MERGES)
 
 
 def q_doc_packing(spark, sf_dir):
@@ -1510,6 +1546,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * rollup_order_counts (r4) — grouping-set family stays driver-covered
       by cube_counts; retired to driver-gate events_asof (the as-of join,
       verified against DuckDB's native ASOF JOIN).
+    * entity_frequencies (r5) — a 10-row salted groupBy count whose surface
+      kg_cooccur already exercises; retired to driver-gate
+      neardup_keep_list (the LSH → verify → CC → representative dedup
+      endgame — the most user-relevant curation composition in the repo;
+      VERDICT r4 "Next round" #1).  salted_agg stays pytest-gated
+      (tests/test_skew.py) and under the retired replica.
     """
     return {
         "kg_mentions": q_kg_mentions,
@@ -1552,7 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backend_fallback": q_backend_fallback,
         "media_features_real": q_media_features_real,
         "prompt_assembly": q_prompt_assembly,
-        "entity_frequencies": q_entity_frequencies,
+        "neardup_keep_list": q_neardup_keep_list,
         "judge_sample_accuracy": q_judge_sample_accuracy,
         "judge_song_accuracy": q_judge_song_accuracy,
         "reflect_retry": q_reflect_retry,
@@ -1659,28 +1701,24 @@ def _judge_sql(tail: str) -> str:
     return "WITH RECURSIVE " + _JUDGE_PREFIX + tail
 
 
-# Song-judge family (judge_song.py:49-68 / judge_entity_song.py:5-31): BOTH
-# sides collapse to the max-area representative per (doc, name, label) — ties
-# break on coordinates like judge.max_area_gold — and representatives match
-# under the shared box-agreement rule.  One SQL source for the accuracy and
-# P/R/F1 variants (m = agreeing representative pairs).
-_SONG_PREFIX = "WITH " + _judge_base_sql("p_brand", "p_type", "sbase") + """, prep AS (
+# Song-judge family — the reference's exact counting (judge_song.py:32-107 /
+# judge_entity_song.py:38-125): only the GOLD side collapses to its max-area
+# representative per (doc, name, label) (null bnd = area 0; equal-area ties
+# break on coordinates — the reference's first-in-list order isn't carried by
+# frames), a group is matched iff ANY pred in the group agrees with the
+# representative, and spurious preds are ignored.  One SQL source for the
+# accuracy and P/R/F1 variants (m = matched gold groups with group size).
+_SONG_PREFIX = "WITH " + _judge_base_sql("p_brand", "p_type", "sbase") + """, grep AS (
               SELECT * FROM (
                 SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
-                  ORDER BY CASE WHEN x1 IS NULL THEN -1
+                  ORDER BY CASE WHEN x1 IS NULL THEN 0
                                 ELSE greatest(x2 - x1, 0) * greatest(y2 - y1, 0) END DESC,
-                           coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rn
-                FROM pred) WHERE rn = 1
-            ), grep AS (
-              SELECT * FROM (
-                SELECT *, row_number() OVER (PARTITION BY doc_key, name, label
-                  ORDER BY CASE WHEN x1 IS NULL THEN -1
-                                ELSE greatest(x2 - x1, 0) * greatest(y2 - y1, 0) END DESC,
-                           coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rn
+                           coalesce(x1,-1), coalesce(y1,-1), coalesce(x2,-1), coalesce(y2,-1)) AS rn,
+                       count(*) OVER (PARTITION BY doc_key, name, label) AS n_grp
                 FROM gold) WHERE rn = 1
             ), m AS (
-              SELECT pr.doc_key
-              FROM prep pr JOIN grep gr USING (doc_key, name, label)
+              SELECT DISTINCT gr.doc_key, gr.name, gr.label, gr.n_grp
+              FROM grep gr JOIN pred pr USING (doc_key, name, label)
               WHERE (pr.x1 IS NULL AND gr.x1 IS NULL)
                  OR (pr.x1 IS NOT NULL AND gr.x1 IS NOT NULL AND
                      3.0 * (greatest(least(pr.x2, gr.x2) - greatest(pr.x1, gr.x1), 0)
@@ -1688,6 +1726,14 @@ _SONG_PREFIX = "WITH " + _judge_base_sql("p_brand", "p_type", "sbase") + """, pr
                      > CAST(greatest(pr.x2 - pr.x1, 0) * greatest(pr.y2 - pr.y1, 0)
                             + greatest(gr.x2 - gr.x1, 0) * greatest(gr.y2 - gr.y1, 0) AS DOUBLE))
             )"""
+
+
+def _bpe_chain_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.bpe import (
+        bpe_sql_encode_expr,
+    )
+
+    return bpe_sql_encode_expr("w", BPE_MERGES)
 
 
 _WS_TOKS = "list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
@@ -2332,28 +2378,24 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc
         """),
         "judge_song_accuracy": _SONG_PREFIX + """, per_doc AS (
-              SELECT d.doc_key,
-                     coalesce(p.n, 0) AS n_pred,
-                     coalesce(g.n, 0) AS n_gold,
-                     coalesce(mm.n, 0) AS n_match
-              FROM (SELECT DISTINCT doc_key FROM pred
-                    UNION SELECT DISTINCT doc_key FROM gold) d
-              LEFT JOIN (SELECT doc_key, count(*) AS n FROM prep GROUP BY 1) p USING (doc_key)
-              LEFT JOIN (SELECT doc_key, count(*) AS n FROM grep GROUP BY 1) g USING (doc_key)
-              LEFT JOIN (SELECT doc_key, count(*) AS n FROM m GROUP BY 1) mm USING (doc_key)
+              SELECT g.doc_key,
+                     count(*) AS n_groups,
+                     CAST(sum(CASE WHEN mm.doc_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+              FROM grep g LEFT JOIN m mm USING (doc_key, name, label)
+              GROUP BY 1
             )
-            SELECT CAST(sum(CASE WHEN n_match = n_gold AND n_match = n_pred THEN 1 ELSE 0 END) AS BIGINT) AS correct_samples,
+            SELECT CAST(sum(CASE WHEN n_matched = n_groups THEN 1 ELSE 0 END) AS BIGINT) AS correct_samples,
                    count(*) AS total_samples,
-                   round(CAST(sum(CASE WHEN n_match = n_gold AND n_match = n_pred THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
+                   round(CAST(sum(CASE WHEN n_matched = n_groups THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
             FROM per_doc
         """,
-        # entity-level song judge: every (doc, name, label) group holds one
-        # representative per side after the max-area collapse, so tp is just
-        # the agreeing-pair count; zero-guards mirror micro_prf exactly
+        # entity-level song judge, reference counting: tp = sum of matched
+        # gold GROUP sizes; totals count ALL rows uncollapsed; zero-guards
+        # mirror micro_prf exactly
         "judge_song_prf": _SONG_PREFIX + """, counts AS (
-              SELECT (SELECT count(*) FROM m) AS tp,
-                     (SELECT count(*) FROM prep) AS pred_total,
-                     (SELECT count(*) FROM grep) AS gold_total
+              SELECT (SELECT CAST(coalesce(sum(n_grp), 0) AS BIGINT) FROM m) AS tp,
+                     (SELECT count(*) FROM pred) AS pred_total,
+                     (SELECT count(*) FROM gold) AS gold_total
             )
             SELECT tp, pred_total, gold_total,
                    round(CASE WHEN pred_total > 0
@@ -2458,19 +2500,41 @@ def oracle_sql() -> dict[str, str]:
             FROM walk WHERE entity <> reached
             GROUP BY entity, reached
         """,
-        "entity_frequencies": f"""
-            WITH occ AS (
-              SELECT d.doc_id, g.canonical,
-                     len(list_filter(
-                       range(1, len(d.text) - len(g.alias) + 2),
-                       i -> substr(d.text, i, len(g.alias)) = g.alias)) AS n
-              FROM documents d CROSS JOIN {GAZ_SQL}
+        # exact all-pairs J >= 0.9 edges + recursive transitive closure;
+        # keep = lexicographic min of the component (VARCHAR order on both
+        # engines), matching connected_components' string-min label
+        "neardup_keep_list": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          ELSE [array_to_string(w, ' ')] END AS s
+              FROM toks
+            ), edges0 AS (
+              SELECT CAST(a.doc_id AS VARCHAR) AS a, CAST(b.doc_id AS VARCHAR) AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+            ), und AS (
+              SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0
+            ), walk AS (
+              SELECT a AS node, b AS reached FROM und
+              UNION
+              SELECT w.node, u.b
+              FROM walk w JOIN und u ON u.a = w.reached
+              WHERE u.b <> w.node
             )
-            SELECT canonical,
-                   CAST(sum(n) AS BIGINT) AS n_mentions,
-                   CAST(count(DISTINCT CASE WHEN n > 0 THEN doc_id END) AS INT)
-                     AS n_docs
-            FROM occ GROUP BY canonical HAVING sum(n) > 0
+            SELECT node AS doc_id,
+                   CASE WHEN min(reached) < node THEN min(reached) ELSE node END AS keep,
+                   CASE WHEN min(reached) < node THEN FALSE ELSE TRUE END AS kept
+            FROM walk GROUP BY node
         """,
         "cube_counts": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
@@ -2528,12 +2592,13 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_doc_pii_scrub,
         "top_orders_per_priority": q_top_orders_per_priority,
         "graph_triangles": q_graph_triangles,
-        "neardup_keep_list": q_neardup_keep_list,
+        "entity_frequencies": q_entity_frequencies,
         "doc_repetition": q_doc_repetition,
         "doc_decontam": q_doc_decontam,
         "kg_ntriples": q_kg_ntriples,
         "doc_len_quantiles": q_doc_len_quantiles,
         "graph_degrees": q_graph_degrees,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
     }
 
 
@@ -2755,42 +2820,39 @@ def retired_oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS clustering
             FROM deg d LEFT JOIN tcount t ON t.entity = d.entity
         """,
-        # exact all-pairs J >= 0.9 edges + recursive transitive closure;
-        # keep = lexicographic min of the component (VARCHAR order on both
-        # engines), matching connected_components' string-min label
-        "neardup_keep_list": """
-            WITH RECURSIVE toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
-                                 x -> x <> '') AS w
-              FROM documents
-            ), sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(w) >= 3
-                          THEN list_distinct(list_transform(
-                                 range(1, len(w) - 1),
-                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                          ELSE [array_to_string(w, ' ')] END AS s
-              FROM toks
-            ), edges0 AS (
-              SELECT CAST(a.doc_id AS VARCHAR) AS a, CAST(b.doc_id AS VARCHAR) AS b
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
-            ), und AS (
-              SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0
-            ), walk AS (
-              SELECT a AS node, b AS reached FROM und
-              UNION
-              SELECT w.node, u.b
-              FROM walk w JOIN und u ON u.a = w.reached
-              WHERE u.b <> w.node
+        # occurrence scan must count OVERLAPPING matches (two vocab aliases
+        # self-overlap), so a replace-trick count would undercount
+        "entity_frequencies": f"""
+            WITH occ AS (
+              SELECT d.doc_id, g.canonical,
+                     len(list_filter(
+                       range(1, len(d.text) - len(g.alias) + 2),
+                       i -> substr(d.text, i, len(g.alias)) = g.alias)) AS n
+              FROM documents d CROSS JOIN {GAZ_SQL}
             )
-            SELECT node AS doc_id,
-                   CASE WHEN min(reached) < node THEN min(reached) ELSE node END AS keep,
-                   CASE WHEN min(reached) < node THEN FALSE ELSE TRUE END AS kept
-            FROM walk GROUP BY node
+            SELECT canonical,
+                   CAST(sum(n) AS BIGINT) AS n_mentions,
+                   CAST(count(DISTINCT CASE WHEN n > 0 THEN doc_id END) AS INT)
+                     AS n_docs
+            FROM occ GROUP BY canonical HAVING sum(n) > 0
         """,
+        # the frozen BPE rules as a literal replace-chain (bpe.py module doc:
+        # DuckDB replace() == Python str.replace, both left-to-right
+        # non-overlapping) — full token-sequence equality, not just counts
+        "doc_bpe_tokens": f"""
+            WITH encs AS (
+              SELECT doc_id,
+                     list_transform({_WORD_TOKS},
+                                    w -> {{BPE_CHAIN}}) AS e
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN len(e) = 0 THEN 0
+                        ELSE CAST(len(string_split(array_to_string(e, chr(31)), chr(31))) AS BIGINT)
+                   END AS n_bpe_tokens,
+                   replace(array_to_string(e, chr(31)), chr(31), ' ') AS bpe_tokens
+            FROM encs
+        """.replace("{BPE_CHAIN}", _bpe_chain_sql()),
         # type-1 quantiles via the same integer boundary test (cum*100 >=
         # k*n) over the token-count histogram
         "doc_len_quantiles": f"""

@@ -272,14 +272,121 @@ def sample_accuracy(pred: DataFrame, gold: DataFrame, docs: DataFrame) -> DataFr
     )
 
 
+def _gold_reps(gold: DataFrame) -> DataFrame:
+    """Max-area representative per gold (doc, name, label) group WITH the
+    group size — the song judges' shared gold collapse (judge_song.py:55-69,
+    judge_entity_song.py:78-92: a null bnd counts as area 0, NOT excluded).
+    The reference breaks equal-area ties first-in-list-order; frames carry no
+    list order, so ties break on box coordinates (nulls rank as -1) —
+    deterministic and oracle-replicable.  Returns
+    (doc_key, name, label, g_bnd, n_grp)."""
+    with_area = gold.withColumn(
+        "_area",
+        F.when(F.col("bnd").isNotNull(), area(F.col("bnd"))).otherwise(F.lit(0)),
+    )
+    w = Window.partitionBy(*KEYS).orderBy(F.col("_area").desc(), *_rank_order("bnd"))
+    return (
+        with_area.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(*KEYS)))
+        .where(F.col("_rn") == 1)
+        .select(*KEYS, F.col("bnd").alias("g_bnd"), F.col("_n").alias("n_grp"))
+    )
+
+
+def _matched_song_groups(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Gold (doc, name, label) groups matched under the song rule: the group
+    is matched iff ANY prediction with the same (name, label) in the doc
+    agrees with the group's max-area representative — both boxes null, or
+    IoU > 0.5 (judge_song.py:71-89, judge_entity_song.py:94-101; a failed
+    pred does NOT consume the group, a later pred can still match it).
+    Returns one row per matched group: (doc_key, name, label, n_grp)."""
+    reps = _gold_reps(gold)
+    p = pred.select(*KEYS, F.col("bnd").alias("p_bnd"))
+    return (
+        reps.join(p, KEYS)
+        .where(_boxes_agree(F.col("p_bnd"), F.col("g_bnd")))
+        .select(*KEYS, "n_grp")
+        .distinct()
+    )
+
+
 def song_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
-    """Entity-level max-area P/R/F1 (judge_entity_song.py:5-31): BOTH sides
-    collapse to their max-area representative box per (doc, name, label), then
-    micro P/R/F1 over the representatives — A5 (max-by-area) composed with the
-    A2/A3 counters.  After the collapse each (doc, name, label) group holds at
-    most one row per side, so the greedy matcher degenerates to the reference's
-    single representative-pair comparison."""
-    return micro_prf(max_area_gold(pred), max_area_gold(gold))
+    """Entity-level max-area P/R/F1 — the reference's counting reproduced
+    exactly (judge_entity_song.py:38-125): pred_total and gold_total count ALL
+    rows uncollapsed (:52, :57); only the GOLD side collapses to its max-area
+    representative per (doc, name, label) (:78-92, null bnd = area 0); a group
+    is matched iff ANY pred in the group agrees with the representative
+    (:94-101); tp credits the FULL gold group size (:105,
+    ``true_positives += len(candidates)``).  Precision = tp / pred_total can
+    therefore exceed 1 when matched gold groups out-size the pred list — the
+    reference's arithmetic, reproduced rather than cleaned up (the r4 version
+    collapsed both sides and counted one rep per group; ADVICE r4 flagged the
+    divergence)."""
+    matched = _matched_song_groups(pred, gold)
+
+    def _tag(df: DataFrame, p: int, g: int, m) -> DataFrame:
+        return df.select(
+            F.lit(p).alias("_p"), F.lit(g).alias("_g"), m.alias("_m")
+        )
+
+    tagged = (
+        _tag(pred, 1, 0, F.lit(0).cast("bigint"))
+        .unionByName(_tag(gold, 0, 1, F.lit(0).cast("bigint")))
+        .unionByName(_tag(matched, 0, 0, F.col("n_grp").cast("bigint")))
+    )
+    counts = tagged.agg(
+        F.coalesce(F.sum("_m"), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum("_p"), F.lit(0)).alias("pred_total"),
+        F.coalesce(F.sum("_g"), F.lit(0)).alias("gold_total"),
+    )
+    prec = F.when(
+        F.col("pred_total") > 0, F.col("tp") / F.col("pred_total")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("gold_total") > 0, F.col("tp") / F.col("gold_total")
+    ).otherwise(F.lit(0.0))
+    out = counts.select(
+        "tp", "pred_total", "gold_total",
+        prec.alias("precision"), rec.alias("recall"),
+    )
+    return out.withColumn(
+        "f1",
+        F.when(
+            (F.col("precision") + F.col("recall")) > 0,
+            2 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def song_accuracy(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """All-or-nothing per-document accuracy under the song rule — the
+    reference's counting reproduced exactly (judge_song.py:32-107, workflow3's
+    111/120 = 0.925 judge): the universe is the GOLD-side documents
+    (``total_samples = len(true_data)``, :39); a doc is correct iff every gold
+    (name, label) group's max-area representative is matched by some pred
+    (:92); spurious predictions are IGNORED (:79 ``continue`` on unknown keys
+    — no penalty, unlike sample_accuracy's exact-match rule).  Docs with an
+    empty gold entity list are not representable as frame rows; the reference
+    counts them correct unconditionally (:92 vacuous set equality), so
+    omitting them only shifts both counters' absolute values, never a
+    represented doc's verdict."""
+    reps = _gold_reps(gold)
+    matched = _matched_song_groups(pred, gold).select(*KEYS)
+    per_doc = (
+        reps.join(matched.withColumn("_hit", F.lit(1)), KEYS, "left")
+        .groupBy("doc_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_matched"),
+        )
+    )
+    correct = (F.col("n_matched") == F.col("n_groups")).cast("int")
+    return per_doc.agg(
+        F.sum(correct).alias("correct_samples"),
+        F.count(F.lit(1)).alias("total_samples"),
+        (F.sum(correct) / F.count(F.lit(1))).alias("accuracy"),
+    )
 
 
 def max_area_gold(gold: DataFrame) -> DataFrame:

@@ -28,6 +28,7 @@ def pack_documents(
     order_col: str = "doc_sha",
     shard: Column | None = None,
     n_shards: int = 256,
+    size_col: Column | None = None,
 ) -> DataFrame:
     """docs → docs + (shard, n_tokens, bin_id, bin_offset).
 
@@ -35,7 +36,11 @@ def pack_documents(
     document's token start offset inside its shard's stream.  Default shard
     key is ``pmod(xxhash64(order_col), n_shards)``; pass an explicit
     ``shard`` column for oracle-reproducible arithmetic (the driver query
-    uses ``doc_id % 8``).  One shuffle (the per-shard window sort).
+    uses ``doc_id % 8``).  ``size_col`` overrides the whitespace token count
+    as the document's budget contribution — pass the learned-subword count
+    (operators.bpe.bpe_token_stats' n_bpe_tokens) to pack by REAL tokenizer
+    budgets, which is what the training job actually consumes.  One shuffle
+    (the per-shard window sort).
     """
     if bin_tokens <= 0:
         raise ValueError("bin_tokens must be positive")
@@ -45,7 +50,8 @@ def pack_documents(
         else F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards))
     )
     sized = docs.withColumn("shard", shard_col).withColumn(
-        "n_tokens", token_count(F.col(text_col))
+        "n_tokens",
+        size_col if size_col is not None else token_count(F.col(text_col)),
     )
     w = (
         Window.partitionBy("shard")

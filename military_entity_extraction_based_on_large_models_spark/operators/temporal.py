@@ -68,34 +68,46 @@ def range_join(
     if "_bin" in points.columns or "_bin" in intervals.columns:
         raise ValueError("'_bin' collides with range_join internals")
 
-    def _epoch(c):
-        # ANSI forbids ntz→double; the timestamp hop is shift-consistent
-        return F.col(c).cast("timestamp").cast("double")
+    bin_us = int(bin_seconds) * 1_000_000
+
+    def _micros(c):
+        # integer microseconds end to end: a double epoch's ulp at ~1.7e9 s
+        # (~2.4e-7 s) can round a microsecond-fractional end just below a bin
+        # boundary and silently drop the last candidate bin (ADVICE r4) —
+        # unix_micros never can.  ANSI forbids ntz→numeric; the timestamp hop
+        # is shift-consistent (both sides shift identically, bins align).
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    def _bin_of(micros_col):
+        return F.floor(micros_col / F.lit(bin_us)).cast("long")
 
     iv = intervals.select(
         *keys,
         *[F.col(c).alias(f"{right_prefix}{c}") for c in iv_cols],
         F.explode(
             F.sequence(
-                F.floor(_epoch(start) / bin_seconds).cast("long"),
-                # end is exclusive: an end on a bin boundary must not leak
-                # into that bin.  greatest() guards degenerate (zero-length /
+                _bin_of(_micros(start)),
+                # end is exclusive: an end exactly on a bin boundary must not
+                # leak into that bin — subtract one microsecond (timestamps
+                # have microsecond resolution, so this is exact, not an
+                # epsilon).  greatest() guards degenerate (zero-length /
                 # inverted) intervals from Spark's DESCENDING sequence —
                 # they emit one candidate bin and the exact post-filter
                 # drops them
                 F.greatest(
-                    F.floor((_epoch(end) - F.lit(1e-6)) / bin_seconds).cast("long"),
-                    F.floor(_epoch(start) / bin_seconds).cast("long"),
+                    _bin_of(_micros(end) - F.lit(1)),
+                    _bin_of(_micros(start)),
                 ),
             )
         ).alias("_bin"),
     )
-    pt = points.withColumn(
-        "_bin", F.floor(_epoch(point_ts) / bin_seconds).cast("long")
-    )
+    pt = points.withColumn("_bin", _bin_of(_micros(point_ts)))
     joined = pt.join(iv, [*keys, "_bin"]).where(
-        (_epoch(f"{right_prefix}{start}") <= _epoch(point_ts))
-        & (_epoch(point_ts) < _epoch(f"{right_prefix}{end}"))
+        # exact containment post-filter on raw timestamps — no float hop
+        (F.col(f"{right_prefix}{start}").cast("timestamp")
+         <= F.col(point_ts).cast("timestamp"))
+        & (F.col(point_ts).cast("timestamp")
+           < F.col(f"{right_prefix}{end}").cast("timestamp"))
     )
     return joined.drop("_bin")
 

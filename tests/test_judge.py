@@ -174,8 +174,9 @@ def test_sample_accuracy_and_max_area(spark):
 
 
 def test_song_prf_entity_level(spark):
-    # d1/G36: two golds (max-area rep 0,0,50,50) vs one agreeing pred — after
-    # the collapse this is exactly 1 tp; the small gold box must NOT count.
+    # Reference counting (judge_entity_song.py:38-125): totals are the RAW
+    # row counts; only gold collapses (d1/G36 rep = 0,0,50,50); a matched
+    # group credits its FULL size (d1/G36 → tp += 2).
     gold = _frame(
         spark,
         [
@@ -189,14 +190,59 @@ def test_song_prf_entity_level(spark):
         spark,
         [
             ("d1", "G36", "weapon", _box(1, 1, 51, 51)),   # IoU vs rep > 0.5
-            ("d1", "G36", "weapon", _box(40, 40, 42, 42)), # collapsed away (area 4)
+            ("d1", "G36", "weapon", _box(40, 40, 42, 42)), # fails vs rep; group
+            # already matched by the big pred — counts only in pred_total
             ("d1", "NATO", "other", None),
             ("d3", "HIMARS", "weapon", _box(0, 0, 5, 5)),  # spurious
         ],
     )
     prf = judge.song_prf(pred, gold).first()
-    # reps: pred {G36 big, NATO, HIMARS} = 3, gold {G36 big, NATO, F-16} = 3
-    assert prf["pred_total"] == 3 and prf["gold_total"] == 3
-    assert prf["tp"] == 2
-    assert abs(prf["precision"] - 2 / 3) < 1e-12
-    assert abs(prf["f1"] - 2 / 3) < 1e-12
+    # tp = 2 (G36 group size) + 1 (NATO) = 3; totals = all 4 rows each side
+    assert prf["pred_total"] == 4 and prf["gold_total"] == 4
+    assert prf["tp"] == 3
+    assert abs(prf["precision"] - 3 / 4) < 1e-12
+    assert abs(prf["recall"] - 3 / 4) < 1e-12
+    assert abs(prf["f1"] - 3 / 4) < 1e-12
+
+
+def test_song_prf_group_size_credit_can_exceed_pred_total(spark):
+    # The reference's quirk, reproduced on purpose: one pred matching a
+    # 3-member gold group yields tp=3 > pred_total=1, so precision = 3.
+    gold = _frame(
+        spark,
+        [
+            ("d1", "G36", "weapon", _box(0, 0, 10, 10)),
+            ("d1", "G36", "weapon", _box(0, 0, 2, 2)),
+            ("d1", "G36", "weapon", _box(5, 5, 6, 6)),
+        ],
+    )
+    pred = _frame(spark, [("d1", "G36", "weapon", _box(0, 0, 10, 10))])
+    prf = judge.song_prf(pred, gold).first()
+    assert prf["tp"] == 3 and prf["pred_total"] == 1 and prf["gold_total"] == 3
+    assert prf["precision"] == 3.0 and prf["recall"] == 1.0
+
+
+def test_song_accuracy_gold_side_rule(spark):
+    # judge_song.py:32-107: universe = gold docs; spurious preds ignored;
+    # a doc is correct iff every gold group's max-area rep is matched.
+    gold = _frame(
+        spark,
+        [
+            ("d1", "G36", "weapon", _box(0, 0, 2, 2)),
+            ("d1", "G36", "weapon", _box(0, 0, 50, 50)),
+            ("d1", "NATO", "other", None),
+            ("d2", "F-16", "aircraft", _box(0, 0, 10, 10)),  # unmatched
+        ],
+    )
+    pred = _frame(
+        spark,
+        [
+            ("d1", "G36", "weapon", _box(1, 1, 51, 51)),
+            ("d1", "NATO", "other", None),
+            ("d1", "HIMARS", "weapon", _box(0, 0, 5, 5)),  # spurious: no penalty
+            ("d3", "HIMARS", "weapon", None),              # doc not in universe
+        ],
+    )
+    acc = judge.song_accuracy(pred, gold).first()
+    assert acc["correct_samples"] == 1 and acc["total_samples"] == 2
+    assert abs(acc["accuracy"] - 0.5) < 1e-12

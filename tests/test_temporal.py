@@ -156,6 +156,32 @@ def test_range_join_end_on_bin_boundary_no_leak(spark):
     assert range_join(points, intervals, on="user", bin_seconds=10).count() == 0
 
 
+def test_range_join_microsecond_end_near_bin_boundary(spark):
+    from military_entity_extraction_based_on_large_models_spark.operators.temporal import (
+        range_join,
+    )
+
+    # ADVICE r4 regression: a microsecond-fractional end just past a bin
+    # boundary at a large epoch (~1.7e9 s, where a double's ulp ≈ 0.24 µs)
+    # must still emit the boundary bin — the old double arithmetic could
+    # round (epoch(end) - 1e-6) below the boundary and lose the candidate.
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    end = dt.datetime(2024, 1, 1, 0, 0, 10, 1)       # 10.000001 s
+    pt = dt.datetime(2024, 1, 1, 0, 0, 10)           # in the boundary bin
+    points = spark.createDataFrame([("u", pt, "P")], ["user", "ts", "pid"])
+    intervals = spark.createDataFrame(
+        [("u", base, end, "I")], ["user", "start", "end", "iid"]
+    )
+    out = range_join(points, intervals, on="user", bin_seconds=10)
+    assert [r["pid"] for r in out.collect()] == ["P"]
+    # and one microsecond EARLIER (end exactly on the boundary) excludes it
+    intervals2 = spark.createDataFrame(
+        [("u", base, dt.datetime(2024, 1, 1, 0, 0, 10), "I")],
+        ["user", "start", "end", "iid"],
+    )
+    assert range_join(points, intervals2, on="user", bin_seconds=10).count() == 0
+
+
 def test_asof_randomized_vs_pandas_merge_asof(spark):
     """Seeded randomized cross-check against pandas.merge_asof — an
     independent reference implementation of the backward as-of semantic
