@@ -945,6 +945,49 @@ def q_mention_scores(spark, sf_dir):
     )
 
 
+_MENTION_FEATURES_SQL = [
+    "1.0",
+    "least(length(name), 20) / 20.0",
+    "least(length(name) - length(replace(name, ' ', '')) + 1, 3) / 3.0",
+]
+_MENTION_LABEL_SQL = (
+    "CASE WHEN label IN ('weapon', 'vehicle', 'vessel') THEN 1.0 ELSE 0.0 END"
+)
+
+
+def _mention_train_frame(spark, sf_dir):
+    docs = read_driver_documents(spark, sf_dir)
+    return kg_mentions(docs, VOCAB_GAZETTEER).select(
+        F.col("path").cast("bigint").alias("doc_id"), "name", "label"
+    ).distinct()
+
+
+def q_mention_scores_learned(spark, sf_dir):
+    """A REAL learned model in the scoring slot (the stub's designed
+    upgrade): fixed-iteration logistic regression trained in DataFrame
+    aggregations (operators/learn — integer-quantized gradients make the
+    weights bit-identical at any parallelism), predicting 'is military
+    hardware' (weapon/vehicle/vessel) from name features, then scoring
+    every mention through scoring.score_mentions' unchanged Arrow-batched
+    slot.  Oracle: the SAME three GD iterations unrolled as chained one-row
+    CTEs + the identical scoring expression — the training replays, not
+    just the final scores."""
+    from military_entity_extraction_based_on_large_models_spark.operators import learn
+
+    m = _mention_train_frame(spark, sf_dir).persist()
+    feats = [
+        F.lit(1.0),
+        F.least(F.length("name"), F.lit(20)) / F.lit(20.0),
+        F.least(F.size(F.split(F.col("name"), " ")), F.lit(3)) / F.lit(3.0),
+    ]
+    label = F.col("label").isin("weapon", "vehicle", "vessel").cast("double")
+    w = learn.train_logreg(m, feats, label, n_iters=3)
+    scored = scoring.score_mentions(m, scorer=scoring.make_logreg_scorer(w))
+    return scored.select(
+        "doc_id", "name", "label", F.round("score", 6).alias("score")
+    )
+
+
 def q_judge_sample_accuracy(spark, sf_dir):
     """All-or-nothing per-document accuracy (judge/judge.py:30-99): a doc is
     correct iff every gold entity matched and no spurious prediction."""
@@ -1726,6 +1769,27 @@ _SONG_PREFIX = "WITH " + _judge_base_sql("p_brand", "p_type", "sbase") + """, gr
                      > CAST(greatest(pr.x2 - pr.x1, 0) * greatest(pr.y2 - pr.y1, 0)
                             + greatest(gr.x2 - gr.x1, 0) * greatest(gr.y2 - gr.y1, 0) AS DOUBLE))
             )"""
+
+
+def _mention_scores_learned_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.learn import (
+        logreg_score_sql,
+        logreg_sql,
+    )
+
+    feats_cte = f"""feats AS (
+              SELECT DISTINCT d.doc_id, g.alias AS name, g.label AS label
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+            )"""
+    chain = logreg_sql(
+        feats_cte, _MENTION_FEATURES_SQL, _MENTION_LABEL_SQL, n_iters=3
+    )
+    score = logreg_score_sql("w3", _MENTION_FEATURES_SQL)
+    return f"""{chain}
+            SELECT doc_id, name, label, round({score}, 6) AS score
+            FROM feats CROSS JOIN w3
+        """
 
 
 def _bpe_chain_sql() -> str:
@@ -2599,6 +2663,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_len_quantiles": q_doc_len_quantiles,
         "graph_degrees": q_graph_degrees,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "mention_scores_learned": q_mention_scores_learned,
     }
 
 
@@ -2679,6 +2744,11 @@ def retired_oracle_sql() -> dict[str, str]:
             FROM documents d JOIN {GAZ_SQL}
               ON position(g.alias IN d.text) > 0
         """,
+        # the trainer REPLAYED in SQL: 3 GD iterations as chained one-row
+        # CTEs (integer-quantized gradient sums are order-independent, so
+        # DuckDB and Spark reach bit-identical weights), then the identical
+        # left-associative scoring expression over the final weights
+        "mention_scores_learned": _mention_scores_learned_sql(),
         "events_json": """
             SELECT event_type,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k

@@ -54,6 +54,26 @@ def default_scorer_sql(name_expr: str, ctx_expr: str) -> str:
     return f"(0.5 + 0.5 * {z} / (1.0 + abs({z})))"
 
 
+def make_logreg_scorer(weights: list[float]) -> Callable[[pd.DataFrame], np.ndarray]:
+    """A REAL learned model for the scoring slot: rational-sigmoid logistic
+    regression over name features (bias, capped name length /20, capped
+    word count /3) with weights from ``learn.train_logreg``.  numpy
+    elementwise IEEE ops in the same left-associative order as the trainer
+    and the SQL oracle, so scores replay bit-exactly in any engine."""
+    w0, w1, w2 = (float(w) for w in weights)
+
+    def scorer(batch: pd.DataFrame) -> np.ndarray:
+        names = batch["name"].fillna("")
+        x1 = np.minimum(names.str.len().to_numpy(dtype="float64"), 20.0) / 20.0
+        words = names.str.count(" ").to_numpy(dtype="float64") + 1.0
+        x2 = np.minimum(words, 3.0) / 3.0
+        z = (w0 * 1.0) + w1 * x1
+        z = z + w2 * x2
+        return 0.5 + 0.5 * z / (1.0 + np.abs(z))
+
+    return scorer
+
+
 def score_mentions(
     mentions: DataFrame,
     scorer: Callable[[pd.DataFrame], np.ndarray] | None = None,

@@ -225,3 +225,43 @@ def test_asof_join_single_exchange(spark):
     # one content exchange; AQE may render it plus its shuffle-read twice in
     # the formatted tree, so assert the count stays tiny rather than == 1
     assert 1 <= n_exchanges <= 2, plan
+
+
+def test_plans_md_shape_drift_gate(spark):
+    """PLANS.md cannot silently diverge from the shipped plans (ADVICE r4 /
+    VERDICT "Next round" #7): rebuild every gated plan via the generator's
+    own build_sections and compare the operator-tree SHAPE (node lines with
+    per-run numbers stripped — expression ids and plan_ids live in the
+    detail section, which is not compared) against the committed file.
+    Fails with the regeneration command when a plan-affecting change ships
+    without `python tools/dump_plans.py`."""
+    import os
+    import re
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    import dump_plans
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")) as f:
+        text = f.read()
+    committed = {}
+    for block in re.split(r"^## ", text, flags=re.M)[1:]:
+        title = block.splitlines()[0].strip()
+        m = re.search(r"```\n(.*?)```", block, re.S)
+        assert m, f"PLANS.md section {title!r} has no plan block"
+        committed[title] = dump_plans.shape(m.group(1))
+
+    live = {
+        title: dump_plans.shape(dump_plans.plan(df))
+        for title, _claim, df in dump_plans.build_sections(spark)
+    }
+    assert set(live) == set(committed), (
+        "PLANS.md sections out of sync — run: python tools/dump_plans.py"
+    )
+    for title in live:
+        assert live[title] == committed[title], (
+            f"plan shape drifted for {title!r} — run: python tools/dump_plans.py"
+        )

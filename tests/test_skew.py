@@ -92,3 +92,51 @@ def test_topk_per_group_matches_plain_window(spark):
 
     with pytest.raises(ValueError, match="positive"):
         topk_per_group(df, ["grp"], order, k=0)
+
+
+def test_probe_hot_keys_stats(spark):
+    df = _skewed(spark)
+    stats = skew.probe_hot_keys(df, ["canonical"])
+    assert stats["n_rows"] == 1000 and stats["n_keys"] == 101
+    assert stats["max_key_rows"] == 900
+    assert stats["hot_key"] == ("eurofighter",)
+    assert abs(stats["hot_fraction"] - 0.9) < 1e-12
+
+
+def test_probe_hot_keys_with_ts(spark):
+    import datetime as dt
+
+    rows = [("hot", dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)) for i in range(100)]
+    rows += [("cold", dt.datetime(2024, 1, 1))]
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    stats = skew.probe_hot_keys(df, ["k"], ts="ts")
+    assert stats["hot_key"] == ("hot",)
+    assert stats["hot_span_seconds"] == 99.0
+
+
+def test_topk_auto_switches_and_stays_exact(spark):
+    """The auto wrapper must pick the salted plan above the threshold and
+    the plain window below it, with IDENTICAL results either way (the
+    exactness-preserving-switch contract)."""
+    from pyspark.sql import Window
+
+    rows = [("hot", i, float((i * 37) % 100)) for i in range(4000)] + [
+        ("cold", i, float(i)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "id", "score"])
+    order = [F.col("score").desc(), F.col("id").asc()]
+    w = Window.partitionBy("grp").orderBy(*order)
+    want = {
+        (r["grp"], r["rank"]): r["id"]
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    }
+    hot = skew.topk_per_group_auto(df, ["grp"], order, k=5, hot_rows_threshold=1000, buckets=8)
+    cold = skew.topk_per_group_auto(df, ["grp"], order, k=5, hot_rows_threshold=10_000)
+    for out in (hot, cold):
+        got = {(r["grp"], r["rank"]): r["id"] for r in out.collect()}
+        assert got == want
+    # plan check: only the engaged path carries the salt column
+    assert "_salt" in hot._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" not in cold._jdf.queryExecution().executedPlan().toString()

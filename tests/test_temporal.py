@@ -334,3 +334,41 @@ def test_asof_bucketed_equals_unbucketed(spark):
     # tolerance composes with bucketing identically
     want_tol = result(tolerance_seconds=500)
     assert result(tolerance_seconds=500, bucket_seconds=300) == want_tol
+
+
+def test_asof_auto_engages_bucketed_path(spark):
+    """asof_join_auto must flip to the bucketed plan on a hot key (the plan
+    gains the carry JOIN the plain path provably lacks) and keep results
+    identical to the unbucketed answer — the exactness-preserving switch."""
+    import numpy as np
+    import pandas as pd
+
+    from military_entity_extraction_based_on_large_models_spark.operators.temporal import (
+        asof_join_auto,
+    )
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame(
+        {
+            "user": ["hot"] * 300 + ["cold"] * 10,
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.choice(50000, 310, replace=False)],
+            "lid": range(310),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "user": ["hot"] * 80 + ["cold"] * 5,
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.choice(50000, 85, replace=False)],
+            "rid": range(85),
+        }
+    )
+    l, r = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    want = {r_["lid"]: r_["r_rid"] for r_ in asof_join(l, r, on="user").collect()}
+
+    hot = asof_join_auto(l, r, on="user", hot_rows_threshold=100)
+    cold = asof_join_auto(l, r, on="user", hot_rows_threshold=100_000)
+    assert {r_["lid"]: r_["r_rid"] for r_ in hot.collect()} == want
+    assert {r_["lid"]: r_["r_rid"] for r_ in cold.collect()} == want
+    assert "Join" in hot._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in cold._jdf.queryExecution().executedPlan().toString()

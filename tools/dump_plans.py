@@ -26,7 +26,29 @@ def plan(df) -> str:
     )
 
 
-def main() -> None:
+def shape(plan_text: str) -> list[str]:
+    """The operator-tree lines of a formatted plan, with the per-run node
+    numbers stripped — what the PLANS.md drift gate compares (expression ids
+    and plan_ids live in the detail section, which is NOT compared)."""
+    import re
+
+    lines = plan_text.splitlines()
+    try:
+        start = lines.index("== Physical Plan ==") + 1
+    except ValueError:
+        return []
+    out = []
+    for line in lines[start:]:
+        if not line.strip():
+            break
+        out.append(re.sub(r"\s*\(\d+\)\s*$", "", line.rstrip()))
+    return out
+
+
+def build_sections(spark):
+    """(title, claim, DataFrame) for every gated plan — shared by the
+    PLANS.md generator and tests/test_plans.py's drift gate, so the file
+    cannot silently diverge from the shipped plans."""
     from military_entity_extraction_based_on_large_models_spark.operators import (
         dedup,
         similarity,
@@ -41,7 +63,6 @@ def main() -> None:
     from military_entity_extraction_based_on_large_models_spark.plans.pipeline import (
         kg_pipeline,
     )
-    from military_entity_extraction_based_on_large_models_spark.session import get_spark
     from military_entity_extraction_based_on_large_models_spark.sources.documents import (
         read_driver_documents,
     )
@@ -49,8 +70,6 @@ def main() -> None:
         VOCAB_GAZETTEER,
     )
 
-    spark = get_spark(shuffle_partitions=8)
-    spark.sparkContext.setLogLevel("ERROR")
     docs = read_driver_documents(spark, SF_DIR)
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
@@ -70,7 +89,7 @@ def main() -> None:
         F.col("event_id").alias("iid"),
     )
 
-    sections = [
+    return [
         (
             "Flagship KG pipeline (small gazetteer → pure-JVM containment path)",
             "Claim: at most ONE exchange (the scale_out input repartition); no "
@@ -141,6 +160,14 @@ def main() -> None:
             ),
         ),
     ]
+
+
+def main() -> None:
+    from military_entity_extraction_based_on_large_models_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    sections = build_sections(spark)
 
     stamp = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d %H:%MZ")
     out = [
