@@ -147,23 +147,37 @@ def minhash_band_buckets(shingles_col, n_hashes: int, n_bands: int):
 
 
 def pairs_from_buckets(
-    banded: DataFrame, max_bucket_size: int | None = 10_000
+    banded: DataFrame,
+    max_bucket_size: int | None = 10_000,
+    array_path_max: int = 512,
 ) -> DataFrame:
     """(id, band, bucket) → distinct candidate pairs (id_a < id_b).
 
-    One groupBy shuffle; pair fan-out is generated columnar from the sorted
-    id set per bucket (flatten of a triangular transform), so the expensive
-    upstream (signatures/sketches) is computed exactly once — a self-join
-    would re-evaluate it per side and add a second shuffle.
+    One groupBy shuffle builds the per-bucket sorted id set, then TWO pair
+    regimes split on bucket size (r5 — found by the sf1 robustness sweep):
 
-    ``max_bucket_size`` skips buckets larger than the cap (default 10k ids ≈
-    50M pairs): a bucket that large means a degenerate equal-signature class
-    — mass exact duplicates, or below-min-length inputs that all collapse to
-    one signature — whose members are better handled by ``exact_dedup``
-    upstream; fanning it out would put an O(|bucket|²) pair explosion and an
-    |bucket|-sized collect_set on one reducer.  Pass ``None`` for the
-    exhaustive behavior.  The cap is a documented semantic (not silent
-    truncation): candidates WITHIN an oversized bucket are not emitted."""
+    * buckets ≤ ``array_path_max`` ids: the columnar triangle — flatten of
+      a per-element slice transform, zero extra shuffle, the expensive
+      upstream (signatures/sketches) evaluated exactly once.  The triangle
+      is materialized as ONE array value per bucket, so its memory is
+      O(size²) — at 512 ids that is ≤ ~131k pair structs (~4 MB), safe;
+      at the old single-regime 10k cap it was 50M structs in a single
+      interpreted Flatten allocation, which OOMed an 8 GiB executor the
+      first time real near-dup-heavy data (the tiled sf1 corpus) pushed a
+      simhash bucket near the cap.
+    * larger buckets: re-explode the id set and self-join on (band, bucket)
+      with ``id_a < id_b`` — the same pairs STREAMED through a join instead
+      of materialized as an array; the join reads the aggregate's shuffle
+      output (ReusedExchange — same subtree both sides), so signatures are
+      still not recomputed.
+
+    ``max_bucket_size`` still skips buckets beyond the cap (default 10k ids
+    ≈ 50M pairs): a bucket that large means a degenerate equal-signature
+    class — mass exact duplicates, or below-min-length inputs that all
+    collapse to one signature — whose members are better handled by
+    ``exact_dedup`` upstream.  Pass ``None`` for the exhaustive behavior.
+    The cap is a documented semantic (not silent truncation): candidates
+    WITHIN an oversized bucket are not emitted."""
     grouped = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
@@ -171,6 +185,8 @@ def pairs_from_buckets(
     )
     if max_bucket_size is not None:
         grouped = grouped.where(F.size("ids") <= max_bucket_size)
+    small = grouped.where(F.size("ids") <= array_path_max)
+    big = grouped.where(F.size("ids") > array_path_max)
     combos = F.flatten(
         F.transform(
             "ids",
@@ -180,11 +196,18 @@ def pairs_from_buckets(
             ),
         )
     )
-    return (
-        grouped.select(F.explode(combos).alias("p"))
+    small_pairs = (
+        small.select(F.explode(combos).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
     )
+    a = big.select("band", "bucket", F.explode("ids").alias("id_a"))
+    b = big.select("band", "bucket", F.explode("ids").alias("id_b"))
+    big_pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def minhash_lsh_pairs(
