@@ -988,6 +988,27 @@ def q_mention_scores_learned(spark, sf_dir):
     )
 
 
+def q_events_user_ndv(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-count per event_type beside the
+    exact count (operators/stats.hll_ndv — md5-based registers, integer
+    harmonic sum, so the ESTIMATE itself is engine-reproducible: the DuckDB
+    oracle recomputes the identical sketch, unlike approx_count_distinct's
+    opaque engine-private state).  Two algebraic aggregations; the exact
+    column doubles as the in-row accuracy witness."""
+    from military_entity_extraction_based_on_large_models_spark.operators.stats import (
+        hll_ndv,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_ndv(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("ndv_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "ndv_exact", "ndv_hll"
+    )
+
+
 def q_judge_sample_accuracy(spark, sf_dir):
     """All-or-nothing per-document accuracy (judge/judge.py:30-99): a doc is
     correct iff every gold entity matched and no spurious prediction."""
@@ -1790,6 +1811,24 @@ def _mention_scores_learned_sql() -> str:
             SELECT doc_id, name, label, round({score}, 6) AS score
             FROM feats CROSS JOIN w3
         """
+
+
+def _events_user_ndv_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.stats import (
+        hll_ndv_sql,
+    )
+
+    est = hll_ndv_sql("events", ["event_type"], "user_id")
+    return f"""
+        WITH est AS (SELECT * FROM ({est})),
+        exact AS (
+          SELECT event_type,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_exact
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, ndv_exact, ndv_hll
+        FROM exact JOIN est USING (event_type)
+    """
 
 
 def _bpe_chain_sql() -> str:
@@ -2664,6 +2703,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "mention_scores_learned": q_mention_scores_learned,
+        "events_user_ndv": q_events_user_ndv,
     }
 
 
@@ -2744,6 +2784,10 @@ def retired_oracle_sql() -> dict[str, str]:
             FROM documents d JOIN {GAZ_SQL}
               ON position(g.alias IN d.text) > 0
         """,
+        # the HLL sketch recomputed in SQL — identical registers, identical
+        # integer harmonic sum, identical estimate (stats.hll_ndv_sql is
+        # generated from the same constants as the Spark side)
+        "events_user_ndv": _events_user_ndv_sql(),
         # the trainer REPLAYED in SQL: 3 GD iterations as chained one-row
         # CTEs (integer-quantized gradient sums are order-independent, so
         # DuckDB and Spark reach bit-identical weights), then the identical

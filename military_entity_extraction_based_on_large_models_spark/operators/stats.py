@@ -1,4 +1,5 @@
-"""Corpus statistics: exact quantiles over discrete domains.
+"""Corpus statistics: exact quantiles over discrete domains, and a
+DETERMINISTIC HyperLogLog distinct-count sketch.
 
 ``percentile_approx`` is Spark's sketch; curation THRESHOLDS (length
 cutoffs, quality floors) often need exact, reproducible quantiles — and a
@@ -15,13 +16,33 @@ is exact and cheap:
    ceil(k·n/100) — the inverted-CDF (type-1) definition, tested as the
    pure-integer comparison ``cum·100 >= k·n`` so every engine lands the
    same side of the boundary (a float multiply can straddle the ceil).
+
+``hll_ndv`` is the other standard corpus statistic at 100 TB: distinct
+counts where exact counting shuffles every distinct value.  HyperLogLog
+(Flajolet, Fusy, Gandouet & Meunier 2007) as pure DataFrame expressions:
+
+* register index = top ``p`` bits / rank = leading-zero count of the next
+  52 bits of an md5-derived hash — md5 because BOTH engines have it, so
+  (unlike Spark's ``approx_count_distinct``, whose sketch is opaque and
+  engine-private) the whole estimate is DETERMINISTIC and the DuckDB
+  oracle reproduces it bit-for-bit; the rank uses the ``bin()``
+  string-length trick (``53 − len(bin(v))``) — pure integer ops, no
+  float log2 whose boundary behavior could differ;
+* one ``groupBy(keys, register).max(rank)`` — algebraic, map-side
+  combined, the register frame is ≤ m rows per key group: the sketch IS
+  the aggregate state, mergeable by construction;
+* the harmonic sum is accumulated as exact integers (``2^(52−rank)``
+  summed as DECIMAL — a double sum of 4096 powers of two is
+  order-DEPENDENT in its last ulp, which would break cross-engine
+  determinism) and divided once at the end; the small-range linear
+  correction applies below 2.5·m exactly as published.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -56,3 +77,116 @@ def exact_discrete_quantiles(
     return cum.groupBy().agg(*aggs, F.max("_n").alias("n")).where(
         F.col("n").isNotNull()
     )
+
+
+HLL_P = 12                 # 2^12 = 4096 registers, ~1.6% standard error
+_HLL_M = 1 << HLL_P
+_HLL_VBITS = 52            # rank bits: 13 hex digits of the md5 digest
+# alpha_m for m >= 128 (Flajolet et al. 2007, fig. 3)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def hll_register_cols(value: Column) -> tuple[Column, Column]:
+    """(register index, rank) for one value — the sketch's per-row map step.
+
+    Hash = md5 of the value's string form (cross-engine); index = first 3
+    hex digits (12 bits), rank = 53 − bit_length(next 13 hex digits), with
+    the all-zero suffix ranking 53.  ``conv`` parses hex; ``bin`` gives the
+    bit length as a string length (both functions exist and agree in Spark
+    and DuckDB)."""
+    h = F.md5(value.cast("string"))
+    idx = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    v = F.conv(F.substring(h, 4, 13), 16, 10).cast("long")
+    rank = F.when(v == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(v))
+    ).cast("int")
+    return idx, rank
+
+
+def hll_ndv(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    est_col: str = "ndv_hll",
+) -> DataFrame:
+    """Per-``keys`` HyperLogLog distinct-count estimate of ``value``.
+
+    Two algebraic aggregations (registers, then per-key fold) — never a
+    per-key distinct-value shuffle; the register frame is ≤ 4096 rows per
+    key.  Deterministic: same input SET → same estimate, any partitioning,
+    any engine (see module doc).  NULL values are ignored (COUNT DISTINCT
+    semantics)."""
+    idx, rank = hll_register_cols(F.col(value))
+    regs = (
+        df.where(F.col(value).isNotNull())
+        .select(*keys, idx.alias("_ri"), rank.alias("_rk"))
+        .groupBy(*keys, "_ri")
+        .agg(F.max("_rk").alias("_r"))
+    )
+    # exact harmonic sum: term = 2^(52 - rank) as integers, summed as
+    # DECIMAL (no float-order dependence); empty registers contribute 2^52
+    term = F.pow(F.lit(2.0), F.lit(52) - F.col("_r")).cast("decimal(20,0)")
+    per_key = regs.groupBy(*keys).agg(
+        F.sum(term).cast("decimal(38,0)").alias("_zs"),
+        F.count(F.lit(1)).alias("_nreg"),
+    )
+    m = F.lit(float(_HLL_M))
+    z_scaled = F.col("_zs").cast("double") + (
+        (F.lit(_HLL_M) - F.col("_nreg")).cast("double") * F.lit(float(1 << 52))
+    )
+    raw = F.lit(_HLL_ALPHA) * m * m / (z_scaled / F.lit(float(1 << 52)))
+    zeros = (F.lit(_HLL_M) - F.col("_nreg")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5) * m) & (zeros > 0),
+        m * F.log(m / zeros),
+    ).otherwise(raw)
+    return per_key.select(*keys, F.round(est, 2).alias(est_col))
+
+
+def hll_ndv_sql(
+    relation: str, keys: Sequence[str], value: str, est_col: str = "ndv_hll"
+) -> str:
+    """The EXACT DuckDB twin of ``hll_ndv`` (generated, like learn.logreg_sql,
+    so the two engines cannot drift).  ``value`` must be the expression's
+    SQL string form; keys may be empty for a global count."""
+    key_sql = ", ".join(keys)
+    key_sel = (key_sql + ", ") if keys else ""
+    key_grp = f"GROUP BY {key_sql}" if keys else ""
+    # DuckDB types plain decimal literals as DECIMAL (whose arithmetic
+    # overflows and rounds differently than the Spark doubles); a
+    # string→DOUBLE cast is a correctly-rounded parse of Python's
+    # round-trip repr — bit-identical constants in both engines
+    def _d(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    alpha, m, scale = _d(_HLL_ALPHA), _d(float(_HLL_M)), _d(float(1 << 52))
+    raw = (
+        f"({alpha} * {m} * {m} / "
+        f"((zs + ({m} - nreg) * {scale}) / {scale}))"
+    )
+    return f"""
+        WITH hx AS (
+          SELECT {key_sel}md5(CAST({value} AS VARCHAR)) AS h
+          FROM {relation} WHERE {value} IS NOT NULL
+        ), rr AS (
+          SELECT {key_sel}
+                 CAST('0x' || substring(h, 1, 3) AS BIGINT) AS _ri,
+                 CASE WHEN CAST('0x' || substring(h, 4, 13) AS BIGINT) = 0 THEN 53
+                      ELSE 53 - length(bin(CAST('0x' || substring(h, 4, 13) AS BIGINT))) END AS _rk
+          FROM hx
+        ), regs AS (
+          SELECT {key_sel}_ri, max(_rk) AS _r
+          FROM rr GROUP BY {key_sel}_ri
+        ), pk AS (
+          SELECT {key_sel}
+                 CAST(sum(CAST(2 ** (52 - _r) AS HUGEINT)) AS DOUBLE) AS zs,
+                 count(*) AS nreg
+          FROM regs {key_grp}
+        )
+        SELECT {key_sel}
+               round(CASE WHEN {raw} <= 2.5 * {m} AND ({m} - nreg) > 0
+                     THEN {m} * ln({m} / ({m} - nreg))
+                     ELSE {raw}
+                     END, 2) AS {est_col}
+        FROM pk
+    """

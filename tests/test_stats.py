@@ -29,3 +29,54 @@ def test_exact_quantiles_empty_and_validation(spark):
         exact_discrete_quantiles(df, "x", (0,))
     with pytest.raises(ValueError, match="percents"):
         exact_discrete_quantiles(df, "x", (50.5,))
+
+
+def test_hll_accuracy_and_determinism(spark):
+    """4096-register HLL: within ~5% of truth at 10k distinct values, and
+    the estimate is bit-identical under repartitioning (the determinism
+    claim that distinguishes it from approx_count_distinct)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.stats import (
+        hll_ndv,
+    )
+
+    rows = [(i % 3, f"user{i % 10_000}") for i in range(40_000)]
+    df = spark.createDataFrame(rows, ["grp", "uid"])
+    est1 = {r["grp"]: r["ndv_hll"] for r in hll_ndv(df.repartition(1), ["grp"], "uid").collect()}
+    est13 = {r["grp"]: r["ndv_hll"] for r in hll_ndv(df.repartition(13), ["grp"], "uid").collect()}
+    assert est1 == est13  # bit-identical, not approximately
+    for g, e in est1.items():
+        truth = len({f"user{i % 10_000}" for i in range(g, 40_000, 3)})
+        assert abs(e - truth) / truth < 0.05, (g, e, truth)
+
+
+def test_hll_small_range_and_nulls(spark):
+    from military_entity_extraction_based_on_large_models_spark.operators.stats import (
+        hll_ndv,
+    )
+
+    rows = [(1, f"u{i}") for i in range(50)] + [(1, None)] * 5 + [(2, "only")]
+    df = spark.createDataFrame(rows, ["grp", "uid"])
+    est = {r["grp"]: r["ndv_hll"] for r in hll_ndv(df, ["grp"], "uid").collect()}
+    # linear-counting regime: tiny cardinalities land almost exactly
+    assert abs(est[1] - 50) <= 1 and abs(est[2] - 1) <= 0.1
+
+
+def test_hll_matches_duckdb_exactly(spark):
+    """The whole point: the sketch replays bit-for-bit in another engine."""
+    import duckdb
+    import pandas as pd
+
+    from military_entity_extraction_based_on_large_models_spark.operators.stats import (
+        hll_ndv,
+        hll_ndv_sql,
+    )
+
+    rows = [(i % 2, (i * 7919) % 3000) for i in range(20_000)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    got = sorted(
+        (r["grp"], r["ndv_hll"]) for r in hll_ndv(df, ["grp"], "v").collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["grp", "v"]))
+    want = sorted(con.execute(hll_ndv_sql("t", ["grp"], "v")).fetchall())
+    assert got == want
