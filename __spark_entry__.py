@@ -988,6 +988,48 @@ def q_mention_scores_learned(spark, sf_dir):
     )
 
 
+BM25_QUERIES = [
+    (1, "sort merge join"),
+    (2, "window batch stream"),
+    (3, "hash scan vector"),
+]
+
+
+def q_doc_bm25(spark, sf_dir):
+    """Okapi BM25 lexical retrieval over the corpus (operators/ranking):
+    one posting-list aggregation, broadcast query terms, micro-unit integer
+    contribution sums so the scores replay bit-for-bit in the oracle
+    (float term-sum order would be engine-dependent).  Top-10 per query
+    with a total-order tie-break."""
+    from military_entity_extraction_based_on_large_models_spark.operators.ranking import (
+        bm25_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, BM25_QUERIES, k=10)
+
+
+def q_doc_weighted_sample(spark, sf_dir):
+    """Deterministic weight-biased corpus sample (operators/ranking
+    .weighted_sample): priority = md5-derived 52-bit uniform / weight,
+    k smallest win — heavier (longer) docs proportionally likelier, and the
+    draw is bit-reproducible in any engine because the key uses only
+    correctly-rounded IEEE division, deliberately NOT the transcendental
+    Efraimidis-Spirakis key (module doc records the trade)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.ranking import (
+        weighted_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (T.token_count(F.col("text")) + 1).cast("long").alias("weight")
+    )
+    out = weighted_sample(d, weight="weight", k=50)
+    # priority emitted RAW: the doubles are bit-identical across engines
+    # (correctly-rounded division only), while round() at ~1e13 magnitudes
+    # takes different paths (BigDecimal vs float) per engine
+    return out.select("doc_id", "weight", "priority")
+
+
 def q_events_user_ndv(spark, sf_dir):
     """Deterministic HyperLogLog distinct-count per event_type beside the
     exact count (operators/stats.hll_ndv — md5-based registers, integer
@@ -1811,6 +1853,14 @@ def _mention_scores_learned_sql() -> str:
             SELECT doc_id, name, label, round({score}, 6) AS score
             FROM feats CROSS JOIN w3
         """
+
+
+def _doc_bm25_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.ranking import (
+        bm25_sql,
+    )
+
+    return bm25_sql("documents", BM25_QUERIES, _WORD_TOKS, k=10)
 
 
 def _events_user_ndv_sql() -> str:
@@ -2704,6 +2754,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "mention_scores_learned": q_mention_scores_learned,
         "events_user_ndv": q_events_user_ndv,
+        "doc_bm25": q_doc_bm25,
+        "doc_weighted_sample": q_doc_weighted_sample,
     }
 
 
@@ -2783,6 +2835,25 @@ def retired_oracle_sql() -> dict[str, str]:
                      AS score
             FROM documents d JOIN {GAZ_SQL}
               ON position(g.alias IN d.text) > 0
+        """,
+        # BM25 replayed in SQL: same constants (string→DOUBLE casts), same
+        # micro-unit integer contribution sums, same tie-break
+        "doc_bm25": _doc_bm25_sql(),
+        # same md5-uniform / integer-weight priority; IEEE division is
+        # correctly rounded, so ORDER BY priority agrees bit-for-bit
+        "doc_weighted_sample": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len({_WS_TOKS}) + 1 AS BIGINT) AS weight
+              FROM documents
+            ), pr AS (
+              SELECT doc_id, weight,
+                     CAST(CAST('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 4, 13) AS BIGINT) AS DOUBLE)
+                       / weight AS priority
+              FROM t
+            )
+            SELECT doc_id, weight, priority
+            FROM pr ORDER BY priority ASC, doc_id ASC LIMIT 50
         """,
         # the HLL sketch recomputed in SQL — identical registers, identical
         # integer harmonic sum, identical estimate (stats.hll_ndv_sql is
