@@ -1354,6 +1354,29 @@ def q_graph_triangles(spark, sf_dir):
     return per_node
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """Entity importance over the symmetrized co-occurrence graph:
+    fixed-iteration integer PageRank (operators/pagerank — BIGINT
+    fixed-point mass, integer DIV everywhere), so the rank VECTOR itself is
+    bit-identical at any parallelism and the DuckDB oracle replays the
+    identical iterations as chained CTEs.  One shuffle per iteration
+    (contributions grouped by dst)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    t = _kg_base(spark, sf_dir)
+    e = (
+        t.where(F.col("pred") == "co_occurs_with")
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .distinct()
+    )
+    edges = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank(edges, n_iters=5).withColumnRenamed("node", "entity")
+
+
 def q_doc_pii_scrub(spark, sf_dir):
     """PII scrubbing (standard pre-training cleanup): emails and long digit
     runs become typed placeholders via two codegen regexp_replace passes
@@ -1853,6 +1876,33 @@ def _mention_scores_learned_sql() -> str:
             SELECT doc_id, name, label, round({score}, 6) AS score
             FROM feats CROSS JOIN w3
         """
+
+
+def _kg_pagerank_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.pagerank import (
+        pagerank_sql,
+    )
+
+    edges = f"""
+        WITH ment AS (
+          SELECT DISTINCT d.doc_id, g.canonical
+          FROM documents d JOIN {GAZ_SQL}
+            ON position(g.alias IN d.text) > 0
+          WHERE g.label <> 'location'
+        ), co AS (
+          SELECT DISTINCT a.canonical AS a, b.canonical AS b
+          FROM ment a JOIN ment b
+            ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+        )
+        SELECT a AS src, b AS dst FROM co
+        UNION ALL
+        SELECT b AS src, a AS dst FROM co
+    """
+    return (
+        "SELECT node AS entity, rank_fixed, rank FROM ("
+        + pagerank_sql(edges, n_iters=5)
+        + ") pr_final"
+    )
 
 
 def _doc_bm25_sql() -> str:
@@ -2756,6 +2806,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_ndv": q_events_user_ndv,
         "doc_bm25": q_doc_bm25,
         "doc_weighted_sample": q_doc_weighted_sample,
+        "kg_pagerank": q_kg_pagerank,
     }
 
 
@@ -2836,6 +2887,9 @@ def retired_oracle_sql() -> dict[str, str]:
             FROM documents d JOIN {GAZ_SQL}
               ON position(g.alias IN d.text) > 0
         """,
+        # the identical integer PageRank iterations unrolled as chained CTEs
+        # over the same symmetrized co-occurrence edge derivation
+        "kg_pagerank": _kg_pagerank_sql(),
         # BM25 replayed in SQL: same constants (string→DOUBLE casts), same
         # micro-unit integer contribution sums, same tie-break
         "doc_bm25": _doc_bm25_sql(),

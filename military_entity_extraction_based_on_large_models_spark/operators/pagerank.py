@@ -1,0 +1,134 @@
+"""Deterministic PageRank — entity importance over the knowledge graph.
+
+The reference materializes a KG but never ranks it; importance ranking is
+the canonical downstream consumer of a co-occurrence graph (which entity
+pages matter, which to canonicalize first, which to sample for labeling),
+so it ships here as a first-class iterative operator beside connected
+components (canonicalize.py) and the hop/triangle queries.
+
+Determinism is the whole design (the learn.py trainer's device, applied to
+a graph fixpoint):
+
+* ranks are BIGINT fixed-point (``BASE`` units of mass per node) — float
+  rank sums are ORDER-dependent in their last ulp, so a double PageRank
+  produces different vectors on different partitionings.  Integer sums are
+  exact and order-independent: the vector is bit-identical at any
+  parallelism and in any engine;
+* all divisions are INTEGER division (Spark ``DIV``, DuckDB ``//`` — both
+  exact on BIGINTs; a double division at 1e12 magnitudes can floor across
+  an integer boundary once degrees exceed ~1e4);
+* damping is the rational ``d_num/d_den`` (default 17/20 = 0.85), applied
+  as ``(d_num * inc) DIV d_den`` — no float multiply anywhere.
+
+Each iteration truncates ≤ 1 unit of mass per (edge + node) to the
+remainders, i.e. a relative error ≤ degree/BASE ≈ 1e-9 per node per
+iteration — invisible at rank scale, and the SAME truncation happens in
+the oracle, which replays the identical iterations as chained CTEs.
+
+Scale shape (100 TB): per iteration ONE shuffle — contributions group by
+``dst`` (map-side partial sums), then a broadcast-free left join back onto
+the degree frame keyed by node.  The rank frame is (node, degree, r) —
+never the edge list — and edges are scanned once per iteration from the
+(cached) input.  Lineage is cut with a lazy localCheckpoint every
+``checkpoint_every`` iterations, the canonicalize.py loop idiom.  BIGINT
+headroom: ``d_num * total_mass`` must stay under 2^63 — at BASE=1e12
+that bounds the graph at ~5e5 nodes, so billion-node deployments set
+``base=10**6`` (still 1e-6 rank resolution; documented, test-covered).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BASE = 10**12
+D_NUM = 17
+D_DEN = 20
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 5,
+    base: int = BASE,
+    d_num: int = D_NUM,
+    d_den: int = D_DEN,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration PageRank over DIRECTED ``edges`` (src, dst) →
+    (node, rank_fixed, rank).
+
+    Node set = distinct sources — feed an undirected graph symmetrized
+    (both directions), which also guarantees out-degree ≥ 1, so there is
+    no dangling mass to redistribute (a dangling-aware variant would add
+    one tiny global agg per iteration).  ``rank_fixed`` is the exact
+    BIGINT fixed-point rank (sum over nodes ≈ n·base minus truncation);
+    ``rank`` its double rendering in units of 1 per node.
+    """
+    teleport = ((d_den - d_num) * base) // d_den
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    ranks = deg.withColumn("r", F.lit(base).cast("long"))
+    for it in range(n_iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(F.col("dst").alias("node"), F.expr("r DIV degree").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            deg.join(contribs, "node", "left")
+            .select(
+                "node",
+                "degree",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({d_num} * coalesce(inc, 0L)) DIV {d_den}")
+                ).cast("long").alias("r"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < n_iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_fixed"),
+        F.round(F.col("r").cast("double") / F.lit(float(base)), 6).alias("rank"),
+    )
+
+
+def pagerank_sql(
+    edges_sql: str,
+    n_iters: int = 5,
+    base: int = BASE,
+    d_num: int = D_NUM,
+    d_den: int = D_DEN,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the identical integer iterations
+    unrolled as chained CTEs (the learn.py oracle idiom).  ``edges_sql``
+    must select directed columns (src, dst)."""
+    teleport = ((d_den - d_num) * base) // d_den
+    parts = [
+        f"WITH pr_edges AS ({edges_sql})",
+        """pr_deg AS (
+          SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+          FROM pr_edges GROUP BY src
+        )""",
+        f"pr_r0 AS (SELECT node, degree, CAST({base} AS BIGINT) AS r FROM pr_deg)",
+    ]
+    for it in range(n_iters):
+        parts.append(f"""pr_r{it + 1} AS (
+          SELECT d.node, d.degree,
+                 CAST({teleport} + ({d_num} * COALESCE(i.inc, 0)) // {d_den}
+                      AS BIGINT) AS r
+          FROM pr_deg d LEFT JOIN (
+            SELECT e.dst AS node, CAST(sum(r.r // r.degree) AS BIGINT) AS inc
+            FROM pr_edges e JOIN pr_r{it} r ON r.node = e.src
+            GROUP BY e.dst
+          ) i ON i.node = d.node
+        )""")
+    final = f"""
+        SELECT node, r AS rank_fixed,
+               round(CAST(r AS DOUBLE) / {float(base)}, 6) AS rank
+        FROM pr_r{n_iters}
+    """
+    return ",\n".join(parts) + final
