@@ -1030,6 +1030,20 @@ def q_doc_weighted_sample(spark, sf_dir):
     return out.select("doc_id", "weight", "priority")
 
 
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic 5-per-(lang,source) corpus sample (operators/ranking
+    .stratified_sample): BIGINT md5-uniform priority (all-integer — a
+    uniform draw needs no division), ranked through skew.topk_per_group_auto
+    so a dominant stratum engages the salted two-phase window by itself.
+    The oracle replays the identical priority + window."""
+    from military_entity_extraction_based_on_large_models_spark.operators.ranking import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(d, ["lang", "source"], k=5)
+
+
 def q_events_user_ndv(spark, sf_dir):
     """Deterministic HyperLogLog distinct-count per event_type beside the
     exact count (operators/stats.hll_ndv — md5-based registers, integer
@@ -2806,6 +2820,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_ndv": q_events_user_ndv,
         "doc_bm25": q_doc_bm25,
         "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_stratified_sample": q_doc_stratified_sample,
         "kg_pagerank": q_kg_pagerank,
     }
 
@@ -2908,6 +2923,21 @@ def retired_oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, weight, priority
             FROM pr ORDER BY priority ASC, doc_id ASC LIMIT 50
+        """,
+        # identical all-integer priority + per-stratum window; the Spark
+        # side's plain/salted plan switch cannot change the result
+        "doc_stratified_sample": """
+            WITH pr AS (
+              SELECT doc_id, lang, source,
+                     CAST('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 4, 13) AS BIGINT) AS priority
+              FROM documents
+            ), r AS (
+              SELECT doc_id, lang, source, priority,
+                     CAST(row_number() OVER (PARTITION BY lang, source
+                          ORDER BY priority ASC, doc_id ASC) AS INT) AS rank
+              FROM pr
+            )
+            SELECT doc_id, lang, source, priority, rank FROM r WHERE rank <= 5
         """,
         # the HLL sketch recomputed in SQL — identical registers, identical
         # integer harmonic sum, identical estimate (stats.hll_ndv_sql is

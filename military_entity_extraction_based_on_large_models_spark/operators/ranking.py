@@ -26,6 +26,13 @@ keys on -ln(u)/w, and libm ln's last ulp is engine-specific — this
 operator deliberately trades exact PPS inclusion probabilities for exact
 cross-engine determinism, and says so.  (IEEE division IS correctly
 rounded, so u/w is bit-identical everywhere.)
+
+``stratified_sample`` — deterministic k-per-stratum sampling: the same
+md5-uniform priority, but INTEGER (no division at all — a uniform draw
+needs no weight scaling), ranked per stratum through
+``skew.topk_per_group_auto``, so a hot stratum (one language dominating a
+web crawl is the norm, not the exception) automatically engages the salted
+two-phase window instead of serializing on one task.
 """
 
 from __future__ import annotations
@@ -206,4 +213,34 @@ def weighted_sample(
         .where(F.col("_rn") <= k)
         .drop("_rn")
         .withColumnRenamed("_pr", "priority")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "strat",
+    hot_rows_threshold: int | None = None,
+) -> DataFrame:
+    """Deterministic ``k``-per-stratum sample → original columns +
+    ``priority`` (BIGINT md5-uniform — all-integer, engine-exact) +
+    ``rank``.  Ranking runs through ``skew.topk_per_group_auto``: below the
+    hot-stratum threshold it is one plain window; a dominant stratum flips
+    it to the salted two-phase plan, and the switch cannot change results
+    (total order on (priority, id))."""
+    from .skew import topk_per_group_auto
+
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    pr = F.conv(F.substring(h, 4, 13), 16, 10).cast("long")
+    kwargs = {}
+    if hot_rows_threshold is not None:
+        kwargs["hot_rows_threshold"] = hot_rows_threshold
+    return topk_per_group_auto(
+        df.withColumn("priority", pr),
+        list(strata),
+        [F.col("priority").asc(), F.col(id_col).asc()],
+        k,
+        **kwargs,
     )

@@ -53,6 +53,28 @@ def test_bm25_ranking_properties(spark):
     assert scores[2] > scores[1] < 2 * scores[2]
 
 
+def test_stratified_sample_counts_and_invariance(spark):
+    rows = [(i, "en" if i % 4 else "de", f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = ranking.stratified_sample(df, ["lang", "source"], k=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault((r["lang"], r["source"]), []).append(r["rank"])
+    # every (lang, source) stratum contributes exactly min(k, |stratum|)
+    # rows with ranks 1..n
+    assert set(per) == {(l, s) for l in ("en", "de") for s in ("s0", "s1", "s2")}
+    assert all(sorted(v) == list(range(1, 6)) for v in per.values())
+    # bit-deterministic under repartition AND under the forced salted path
+    key = lambda rs: sorted((r["doc_id"], r["rank"]) for r in rs)
+    out2 = ranking.stratified_sample(
+        df.repartition(11), ["lang", "source"], k=5
+    ).collect()
+    out3 = ranking.stratified_sample(
+        df, ["lang", "source"], k=5, hot_rows_threshold=1
+    ).collect()
+    assert key(out) == key(out2) == key(out3)
+
+
 def test_weighted_sample_deterministic_and_biased(spark):
     rows = [(i, 1 + (100 if i % 10 == 0 else 0)) for i in range(1000)]
     df = spark.createDataFrame(rows, "doc_id long, weight long")
