@@ -1695,13 +1695,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       endgame — the most user-relevant curation composition in the repo;
       VERDICT r4 "Next round" #1).  salted_agg stays pytest-gated
       (tests/test_skew.py) and under the retired replica.
+    * kg_doc_sha (r5) — a one-expression sha2 select (hash surface also
+      exercised by doc_fingerprint and the dedup family); retired to
+      driver-gate kg_pagerank (iterative fixed-point entity ranking with a
+      bit-exact chained-CTE oracle — a far harder independent signal).
     """
     return {
         "kg_mentions": q_kg_mentions,
         "kg_instance_of": q_kg_instance_of,
         "kg_cooccur": q_kg_cooccur,
         "kg_located_in": q_kg_located_in,
-        "kg_doc_sha": q_kg_doc_sha,
+        "kg_pagerank": q_kg_pagerank,
         "kg_canonical_components": q_kg_canonical_components,
         "kg_fuzzy_blocks": q_kg_fuzzy_blocks,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1990,7 +1994,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m a JOIN m b ON a.doc_id = b.doc_id
             WHERE a.label <> 'location' AND b.label = 'location'
         """,
-        "kg_doc_sha": "SELECT doc_id, sha256(text) AS doc_sha FROM documents",
+        "kg_pagerank": _kg_pagerank_sql(),
         "kg_canonical_components": f"""
             WITH RECURSIVE e0 AS (
               SELECT DISTINCT g.alias AS src, g.canonical AS dst
@@ -2821,7 +2825,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25": q_doc_bm25,
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_stratified_sample": q_doc_stratified_sample,
-        "kg_pagerank": q_kg_pagerank,
+        "kg_doc_sha": q_kg_doc_sha,
     }
 
 
@@ -2902,9 +2906,8 @@ def retired_oracle_sql() -> dict[str, str]:
             FROM documents d JOIN {GAZ_SQL}
               ON position(g.alias IN d.text) > 0
         """,
-        # the identical integer PageRank iterations unrolled as chained CTEs
-        # over the same symmetrized co-occurrence edge derivation
-        "kg_pagerank": _kg_pagerank_sql(),
+        # one-expression hash select, retired r5 to driver-gate kg_pagerank
+        "kg_doc_sha": "SELECT doc_id, sha256(text) AS doc_sha FROM documents",
         # BM25 replayed in SQL: same constants (string→DOUBLE casts), same
         # micro-unit integer contribution sums, same tie-break
         "doc_bm25": _doc_bm25_sql(),

@@ -199,20 +199,18 @@ def weighted_sample(
     """Deterministic weight-biased sample of ``k`` rows → original columns +
     ``priority``.  ``weight`` must be a positive integer column; heavier
     rows are proportionally more likely to make the cut (monotone, not
-    exact PPS — see module doc for the determinism trade).  One top-k over
-    the whole frame: at scale this is the two-phase pattern — a map-side
-    per-partition top-k would compose here exactly like skew.topk_per_group;
-    Spark's TakeOrderedAndProject already does this for the plain sort."""
+    exact PPS — see module doc for the determinism trade).  Written as
+    ``orderBy(priority, id).limit(k)`` ON PURPOSE: Spark plans that as
+    TakeOrderedAndProject — a map-side per-partition top-k + one k-row
+    merge, never a global sort or a one-reducer window (the plan shape is
+    test-asserted)."""
     h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
     v = F.conv(F.substring(h, 4, 13), 16, 10).cast("long")
     pr = v.cast("double") / F.col(weight).cast("double")
-    w = Window.orderBy(F.col("_pr").asc(), F.col(id_col).asc())
     return (
-        df.withColumn("_pr", pr)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-        .withColumnRenamed("_pr", "priority")
+        df.withColumn("priority", pr)
+        .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        .limit(k)
     )
 
 

@@ -88,3 +88,16 @@ def test_weighted_sample_deterministic_and_biased(spark):
     # different seed → different draw
     s3 = {r["doc_id"] for r in ranking.weighted_sample(df, "weight", 100, seed="other").collect()}
     assert s1 != s3
+
+
+def test_weighted_sample_plan_take_ordered(spark):
+    """The draw must plan as TakeOrderedAndProject (map-side partial top-k),
+    never a global sort or a one-reducer window."""
+    df = spark.createDataFrame(
+        [(i, i % 5 + 1) for i in range(100)], "doc_id long, weight long"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        ranking.weighted_sample(df, "weight", 10)._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan and "Exchange rangepartitioning" not in plan

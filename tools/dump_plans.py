@@ -51,6 +51,8 @@ def build_sections(spark):
     cannot silently diverge from the shipped plans."""
     from military_entity_extraction_based_on_large_models_spark.operators import (
         dedup,
+        pagerank,
+        ranking,
         similarity,
     )
     from military_entity_extraction_based_on_large_models_spark.operators.skew import (
@@ -145,6 +147,32 @@ def build_sections(spark):
             "it).  Gate: tests/test_dedup.py::"
             "test_exact_dedup_plan_partial_agg_no_window.",
             dedup.exact_dedup(d.select("doc_id", "text"), text_col="text", id_col="doc_id"),
+        ),
+        (
+            "Weighted sample (deterministic global top-k draw)",
+            "Claim: TakeOrderedAndProject — map-side per-partition top-k + "
+            "one k-row merge; never a global sort or one-reducer window.  "
+            "Gate: tests/test_ranking.py::test_weighted_sample_plan_take_ordered.",
+            ranking.weighted_sample(
+                d.select("doc_id", (F.col("n_chars") + 1).alias("weight")),
+                weight="weight",
+                k=50,
+            ),
+        ),
+        (
+            "PageRank (one iteration)",
+            "Claim: per iteration, ONE aggregation shuffle (contributions "
+            "grouped by dst) plus the rank-frame join — no cartesian, no "
+            "window; the rank frame never carries the edge list.  "
+            "Gate: tests/test_pagerank.py parallelism-invariance (bit-equal "
+            "vector at any layout).",
+            pagerank.pagerank(
+                ev.select(
+                    F.col("user_id").cast("string").alias("src"),
+                    F.col("event_id").cast("string").alias("dst"),
+                ),
+                n_iters=1,
+            ),
         ),
         (
             "ANN LSH top-k (bucketed candidate join)",
