@@ -2790,6 +2790,90 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions): per-user event runs
+    split where the inter-event gap exceeds 6 h (the corpus' median per-user
+    gap is ~7.3 h, so the threshold actually discriminates), then one
+    per-session aggregate.  Single shuffle — both window passes share the
+    (user_id, ts, event_id) sort; all gap arithmetic in integer
+    microseconds so the assignment replays exactly in the oracle.  The
+    session_window STREAMING variant stays events_user_sessions; this is
+    the batch per-event-assignment surface (session ids joinable back to
+    events), which session_window cannot express."""
+    from military_entity_extraction_based_on_large_models_spark.operators.sessions import (
+        session_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, gap_seconds=21600)
+
+
+def q_doc_boilerplate(spark, sf_dir):
+    """C4/RefinedWeb-style corpus boilerplate removal
+    (operators/boilerplate): drop any non-overlapping 3-word window seen in
+    ≥5 distinct documents (this corpus has no line structure — same
+    justification as the n-gram repetition features), reassemble each doc
+    from its surviving windows.  At sf0.01 this removes 22 of 7,460
+    distinct units — a discriminating setting, not a no-op."""
+    from military_entity_extraction_based_on_large_models_spark.operators.boilerplate import (
+        remove_boilerplate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_boilerplate(d, window_words=3, min_docs=5)
+
+
+def q_kg_pmi(spark, sf_dir):
+    """PMI edge weighting for the co-occurrence graph (operators/assoc):
+    the raw co_occurs_with edges the reference materializes
+    (TextEntityExtractor output relations) weighted by pointwise mutual
+    information over distinct-document counts — chance co-occurrence of
+    ubiquitous entities scores near/below zero, genuinely associated pairs
+    score high.  Exact BIGINT counts; one ln rounded 6 dp (doc_bm25
+    convention)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.assoc import (
+        pmi_edge_weights,
+    )
+
+    return pmi_edge_weights(q_kg_cooccur(spark, sf_dir))
+
+
+def _events_sessions_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.sessions import (
+        session_stats_sql,
+    )
+
+    return session_stats_sql("events", gap_seconds=21600)
+
+
+def _doc_boilerplate_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.boilerplate import (
+        boilerplate_sql,
+    )
+
+    return boilerplate_sql(
+        "documents", T.WS_CLASS, window_words=3, min_docs=5
+    )
+
+
+def _kg_pmi_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.assoc import (
+        pmi_sql,
+    )
+
+    pairs = f"""
+        WITH m AS (
+          SELECT DISTINCT d.doc_id, g.canonical
+          FROM documents d JOIN {GAZ_SQL}
+            ON position(g.alias IN d.text) > 0
+          WHERE g.label <> 'location'
+        )
+        SELECT a.canonical AS subj, b.canonical AS obj, a.doc_id
+        FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+    """
+    return pmi_sql(pairs)
+
+
 # --------------------------------------------------------------------------
 # retired driver entries (registry held at the driver's 50-row recording cap)
 # --------------------------------------------------------------------------
@@ -2826,6 +2910,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_stratified_sample": q_doc_stratified_sample,
         "kg_doc_sha": q_kg_doc_sha,
+        "events_sessions": q_events_sessions,
+        "doc_boilerplate": q_doc_boilerplate,
+        "kg_pmi": q_kg_pmi,
     }
 
 
@@ -3221,4 +3308,7 @@ def retired_oracle_sql() -> dict[str, str]:
                    list_has_any(g, b.grams) AS contaminated
             FROM sh, bench b
         """,
+        "events_sessions": _events_sessions_sql(),
+        "doc_boilerplate": _doc_boilerplate_sql(),
+        "kg_pmi": _kg_pmi_sql(),
     }
