@@ -227,6 +227,27 @@ def test_asof_join_single_exchange(spark):
     assert 1 <= n_exchanges <= 2, plan
 
 
+def test_sessionize_single_exchange(spark):
+    """Both window passes (gap-detect lag + session-numbering running sum)
+    must share one (key, order) sort: ONE exchange, ONE sort, no join."""
+    import datetime as dt
+
+    from military_entity_extraction_based_on_large_models_spark.operators.sessions import (
+        sessionize,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame([(1, t0, 7, 1.0)], ["event_id", "ts", "user_id", "value"])
+    plan = _plan(sessionize(ev, gap_seconds=1800))
+    assert "Join" not in plan
+    assert 1 <= plan.count("Exchange") <= 2, plan
+    # exactly one Sort node in the operator tree: a second would mean the
+    # two windows stopped sharing their sort order
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    sorts = [l for l in tree.splitlines() if "Sort" in l]
+    assert len(sorts) == 1, tree
+
+
 def test_plans_md_shape_drift_gate(spark):
     """PLANS.md cannot silently diverge from the shipped plans (ADVICE r4 /
     VERDICT "Next round" #7): rebuild every gated plan via the generator's

@@ -50,9 +50,12 @@ def build_sections(spark):
     PLANS.md generator and tests/test_plans.py's drift gate, so the file
     cannot silently diverge from the shipped plans."""
     from military_entity_extraction_based_on_large_models_spark.operators import (
+        assoc,
+        boilerplate,
         dedup,
         pagerank,
         ranking,
+        sessions,
         similarity,
     )
     from military_entity_extraction_based_on_large_models_spark.operators.skew import (
@@ -172,6 +175,43 @@ def build_sections(spark):
                     F.col("event_id").cast("string").alias("dst"),
                 ),
                 n_iters=1,
+            ),
+        ),
+        (
+            "Sessionization (per-event session numbering)",
+            "Claim: ONE exchange + ONE sort — the gap-detect lag and the "
+            "session-numbering running sum are two Window nodes sharing the "
+            "same (key, ts, tie-break) sort order; no join.  "
+            "Gate: tests/test_plans.py::test_sessionize_single_exchange.",
+            sessions.sessionize(ev, gap_seconds=1800),
+        ),
+        (
+            "Corpus boilerplate removal",
+            "Claim: distinct-doc unit counting is two two-phase hash "
+            "aggregates; removal is an anti join on the EXACT unit string "
+            "(broadcast here via AQE, shuffle at scale); reassembly is one "
+            "ObjectHashAggregate (array_sort(collect_list)) — no window, no "
+            "cartesian.  Gate: tests/test_boilerplate.py (equality + "
+            "repartition invariance).",
+            boilerplate.remove_boilerplate(
+                d.select("doc_id", "text"), window_words=3, min_docs=5
+            ),
+        ),
+        (
+            "PMI edge weighting",
+            "Claim: the corpus total joins as a ONE-row broadcast (the only "
+            "nested-loop join); marginal joins are equi joins; no driver "
+            "action.  (Plan shown with materialize=False so the full lazy "
+            "tree is visible; the default lazily checkpoints the distinct "
+            "pairs because they feed four aggregates.)  "
+            "Gate: tests/test_assoc.py hand-formula + role-marginal tests.",
+            assoc.pmi_edge_weights(
+                ev.select(
+                    F.col("event_type").alias("subj"),
+                    F.col("user_id").cast("string").alias("obj"),
+                    F.col("event_id").alias("doc_id"),
+                ),
+                materialize=False,
             ),
         ),
         (
