@@ -43,6 +43,10 @@ from military_entity_extraction_based_on_large_models_spark.operators import (
 from military_entity_extraction_based_on_large_models_spark.operators.canonicalize import (
     canonical_clusters,
 )
+from military_entity_extraction_based_on_large_models_spark.operators.codegraph import (
+    extract_import_edges,
+    repo_dependency_edges,
+)
 from military_entity_extraction_based_on_large_models_spark.plans.pipeline import (
     kg_mentions,
     kg_pipeline,
@@ -833,6 +837,84 @@ def q_cube_counts(spark, sf_dir):
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+def q_code_import_graph(spark, sf_dir):
+    """Code-native KG surface over the input_hint corpus (repo, path, lang,
+    content): synthesize deterministic py/c/js source files from the driver
+    documents table (media_features_real convention — the synthesis formula
+    is replicated verbatim in the oracle), run the REAL per-language regex
+    import extractors (operators.codegraph), resolve module ownership via
+    the broadcast owners table, and return the repo→repo dependency edges.
+
+    The extraction regexes themselves are under the cross-engine hash gate
+    (DuckDB runs the IDENTICAL patterns through RE2), including the
+    negative cases: each synthesized file carries a line-commented import
+    that the anchored patterns must NOT match.  All module/lang choices are
+    integer arithmetic on doc_id (`div`/`//` agree for nonnegative ints),
+    so both engines synthesize byte-identical corpora.
+    """
+    raw = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    # integer division via SQL `div` (matches DuckDB `//` on nonnegatives)
+    m1 = F.concat(
+        F.lit("mod_src"),
+        F.expr("cast((doc_id + doc_id div 20) % 5 as string)"),
+        F.lit("_"),
+        F.expr("cast((doc_id div 3) % 4 as string)"),
+    )
+    m2 = F.concat(
+        F.lit("mod_src"),
+        F.expr("cast((doc_id*3 + doc_id div 7 + 1) % 5 as string)"),
+        F.lit("_"),
+        F.expr("cast((doc_id div 5 + 2) % 4 as string)"),
+    )
+    lang = (
+        F.when(d % 3 == 0, F.lit("py"))
+        .when(d % 3 == 1, F.lit("c"))
+        .otherwise(F.lit("js"))
+    )
+    content = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("import "), m1,
+                F.lit("\n  from "), m2,
+                F.lit(" import core\n# import shadow_mod\nvalue = 1"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("#include <"), m1,
+                F.lit('.h>\n  #include "'), m2,
+                F.lit('.h"\n// #include <shadow.h>\nint main() { return 0; }'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("const a = require('"), m1,
+                F.lit("');\nimport core from '"), m2,
+                F.lit("';\n// import fake from 'shadow'\nlet x = 1"),
+            )
+        )
+    )
+    docs = raw.select(
+        F.col("source").alias("repo"),
+        d.cast("string").alias("path"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+    owners = spark.range(20).select(
+        F.concat(
+            F.lit("mod_src"),
+            F.expr("cast(id % 5 as string)"),
+            F.lit("_"),
+            F.expr("cast(id div 5 as string)"),
+        ).alias("module"),
+        F.concat(F.lit("src"), F.expr("cast(id % 5 as string)")).alias("repo"),
+    )
+    return repo_dependency_edges(extract_import_edges(docs), owners)
 
 
 def q_multi_entity_docs(spark, sf_dir):
@@ -1699,6 +1781,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       exercised by doc_fingerprint and the dedup family); retired to
       driver-gate kg_pagerank (iterative fixed-point entity ranking with a
       bit-exact chained-CTE oracle — a far harder independent signal).
+    * events_daily (r5) — a plain to_date groupBy whose family stays
+      driver-covered by events_hourly (streaming windowed-counts parity)
+      and cube_counts; retired to driver-gate code_import_graph (per-lang
+      import extraction → module-ownership join → repo dependency edges —
+      the code-native KG surface the input_hint corpus calls for).
     """
     return {
         "kg_mentions": q_kg_mentions,
@@ -1716,7 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_customer_per_nation": q_window_top_customer_per_nation,
         "max_by_supplier": q_max_by_supplier,
         "iou_part_boxes": q_iou_part_boxes,
-        "events_daily": q_events_daily,
+        "code_import_graph": q_code_import_graph,
         "events_user_sessions": q_events_user_sessions,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
@@ -2104,11 +2191,64 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS INT) AS matched
             FROM i
         """,
-        "events_daily": """
-            SELECT CAST(ts AS DATE) AS day, event_type,
-                   count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value
-            FROM events GROUP BY CAST(ts AS DATE), event_type
+        # NOTE raw string: regex patterns below must reach RE2 verbatim.
+        "code_import_graph": r"""
+            WITH synth AS (
+              SELECT doc_id, source,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 'py' WHEN 1 THEN 'c' ELSE 'js' END AS lang,
+                'mod_src' || CAST((doc_id + doc_id // 20) % 5 AS VARCHAR)
+                  || '_' || CAST((doc_id // 3) % 4 AS VARCHAR) AS m1,
+                'mod_src' || CAST((doc_id*3 + doc_id // 7 + 1) % 5 AS VARCHAR)
+                  || '_' || CAST((doc_id // 5 + 2) % 4 AS VARCHAR) AS m2
+              FROM documents
+            ), code AS (
+              SELECT doc_id, source, lang,
+                CASE lang
+                  WHEN 'py' THEN 'import ' || m1 || chr(10)
+                    || '  from ' || m2 || ' import core' || chr(10)
+                    || '# import shadow_mod' || chr(10) || 'value = 1'
+                  WHEN 'c' THEN '#include <' || m1 || '.h>' || chr(10)
+                    || '  #include "' || m2 || '.h"' || chr(10)
+                    || '// #include <shadow.h>' || chr(10)
+                    || 'int main() { return 0; }'
+                  ELSE 'const a = require(''' || m1 || ''');' || chr(10)
+                    || 'import core from ''' || m2 || ''';' || chr(10)
+                    || '// import fake from ''shadow''' || chr(10)
+                    || 'let x = 1'
+                END AS content
+              FROM synth
+            ), pats AS (
+              SELECT * FROM (VALUES
+                ('py', '(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)'),
+                ('py', '(?m)^[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import'),
+                ('c',  '(?m)^[ \t]*#[ \t]*include[ \t]*[<"]([A-Za-z0-9_./]+)[>"]'),
+                ('js', 'require\([ \t]*''([^'']+)''[ \t]*\)'),
+                ('js', 'require\([ \t]*"([^"]+)"[ \t]*\)'),
+                ('js', '(?m)^[ \t]*import[ \t][^;\n]*[ \t]from[ \t]+''([^'']+)'''),
+                ('js', '(?m)^[ \t]*import[ \t][^;\n]*[ \t]from[ \t]+"([^"]+)"'),
+                ('js', '(?m)^[ \t]*import[ \t]+''([^'']+)''')
+              ) p(plang, pat)
+            ), imports AS (
+              SELECT doc_id, source,
+                     unnest(regexp_extract_all(content, pat, 1)) AS raw_module
+              FROM code JOIN pats ON code.lang = pats.plang
+            ), norm AS (
+              SELECT doc_id, source,
+                regexp_replace(regexp_replace(raw_module, '^\./', ''),
+                               '\.(h|hpp)$', '') AS module
+              FROM imports
+            ), owners AS (
+              SELECT 'mod_src' || CAST(i % 5 AS VARCHAR) || '_'
+                       || CAST(i // 5 AS VARCHAR) AS module,
+                     'src' || CAST(i % 5 AS VARCHAR) AS repo
+              FROM range(20) t(i)
+            )
+            SELECT n.source AS src_repo, o.repo AS dst_repo,
+                   count(*) AS n_links, count(DISTINCT n.module) AS n_modules
+            FROM norm n JOIN owners o ON n.module = o.module
+            WHERE n.source <> o.repo
+            GROUP BY 1, 2
         """,
         "events_user_sessions": """
             WITH e AS (
@@ -2910,6 +3050,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_stratified_sample": q_doc_stratified_sample,
         "kg_doc_sha": q_kg_doc_sha,
+        "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
         "doc_boilerplate": q_doc_boilerplate,
         "kg_pmi": q_kg_pmi,
@@ -2995,6 +3136,12 @@ def retired_oracle_sql() -> dict[str, str]:
         """,
         # one-expression hash select, retired r5 to driver-gate kg_pagerank
         "kg_doc_sha": "SELECT doc_id, sha256(text) AS doc_sha FROM documents",
+        "events_daily": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY CAST(ts AS DATE), event_type
+        """,
         # BM25 replayed in SQL: same constants (string→DOUBLE casts), same
         # micro-unit integer contribution sums, same tie-break
         "doc_bm25": _doc_bm25_sql(),

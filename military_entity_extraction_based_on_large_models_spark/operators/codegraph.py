@@ -1,0 +1,149 @@
+"""Import-graph extraction over a source-code corpus → repo dependency KG.
+
+The input_hint corpus is source code — (repo, path, commit, lang, content)
+— and the most code-native KG a construction pipeline can emit from it is
+the *dependency graph*: which repo imports which.  This module extracts
+import/include/require statements per language with anchored regexes,
+normalizes the imported module names, resolves modules to their owning
+repo through a join against a module-ownership table, and materializes
+(src_repo, depends_on, dst_repo) edges with link counts.  The edge list
+composes directly with the existing graph family (operators.pagerank for
+"most-depended-on repo", canonicalize for component grouping,
+graph_degrees for hub diagnostics).
+
+Scale shape (100 TB corpus):
+
+* extraction is pure whole-stage-codegen column work —
+  ``regexp_extract_all`` + explode, zero shuffles, no Python;
+* the module→owner resolution is the ONLY shuffle, and it is an equi
+  join: broadcast when the ownership table is bounded (the common case —
+  modules ≪ files), AQE shuffle join otherwise (``broadcast_owners=False``);
+* the per-(src,dst) aggregation is partially aggregated map-side; a
+  mega-repo that imports everything fans into distinct dst groups, so
+  there is no single hot reducer key by construction.
+
+Regex dialect: patterns are restricted to the shared Java-regex / RE2
+subset (no ``\\b``, no ``\\d``, no bounded ``{m,n}`` — the cross-engine
+convention from functions/text.py), so a DuckDB oracle can run the
+IDENTICAL patterns and the driver hash gate checks the extraction
+semantics themselves, not just the plumbing.
+
+Known, documented syntactic limits (this is lexical extraction, not
+parsing): ``import a, b`` captures only ``a``; relative ``from . import
+x`` is skipped (module must start with a letter/underscore); a
+``require('x')`` inside a string literal still matches (the py/c/js
+line-comment negatives ARE handled by the line anchors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Per-language import patterns; capture group 1 is the raw module text.
+# Anchored patterns use (?m) so ^ matches at every line start — a line
+# commented with '#' or '//' cannot match an anchored pattern.
+LANG_IMPORT_PATTERNS: dict[str, list[str]] = {
+    "py": [
+        r"(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)",
+        r"(?m)^[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import",
+    ],
+    "c": [
+        r'(?m)^[ \t]*#[ \t]*include[ \t]*[<"]([A-Za-z0-9_./]+)[>"]',
+    ],
+    "js": [
+        r"require\([ \t]*'([^']+)'[ \t]*\)",
+        r'require\([ \t]*"([^"]+)"[ \t]*\)',
+        r"(?m)^[ \t]*import[ \t][^;\n]*[ \t]from[ \t]+'([^']+)'",
+        r'(?m)^[ \t]*import[ \t][^;\n]*[ \t]from[ \t]+"([^"]+)"',
+        r"(?m)^[ \t]*import[ \t]+'([^']+)'",
+    ],
+}
+
+# Normalization applied to every extracted module: drop a C header
+# extension and a leading ./ relative prefix.  Shared-dialect regexes.
+_STRIP_EXT = r"\.(h|hpp)$"
+_STRIP_REL = r"^\./"
+
+
+def _normalize_module(col):
+    return F.regexp_replace(F.regexp_replace(col, _STRIP_REL, ""), _STRIP_EXT, "")
+
+
+def extract_import_edges(
+    docs: DataFrame,
+    content_col: str = "content",
+    lang_col: str = "lang",
+    repo_col: str = "repo",
+    path_col: str = "path",
+    patterns: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """(repo, path, lang, module) — one row per import OCCURRENCE.
+
+    Files whose language has no patterns, and files with no imports,
+    produce no rows.  Occurrences are kept (a file requiring the same
+    module twice yields two rows); callers that want file-level edges
+    apply ``.distinct()``.  The plan is shuffle-free: a codegen projection
+    (per-lang CASE over ``regexp_extract_all``) plus one explode.
+    """
+    pats = LANG_IMPORT_PATTERNS if patterns is None else patterns
+    matches = None
+    for lang, plist in pats.items():
+        arr = F.concat(
+            *[
+                F.regexp_extract_all(F.col(content_col), F.lit(p), 1)
+                for p in plist
+            ]
+        )
+        branch = (F.col(lang_col) == lang, arr)
+        matches = (
+            F.when(*branch) if matches is None else matches.when(*branch)
+        )
+    matches = matches.otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(
+            F.col(repo_col).alias("repo"),
+            F.col(path_col).alias("path"),
+            F.col(lang_col).alias("lang"),
+            F.explode(matches).alias("_raw_module"),
+        )
+        .withColumn("module", _normalize_module(F.col("_raw_module")))
+        .drop("_raw_module")
+    )
+
+
+def repo_dependency_edges(
+    imports: DataFrame,
+    owners: DataFrame,
+    broadcast_owners: bool = True,
+) -> DataFrame:
+    """Resolve imported modules to their owning repo and aggregate the
+    repo→repo dependency edge list.
+
+    ``imports``: output of :func:`extract_import_edges` (repo, path,
+    module).  ``owners``: (module, repo) ownership table — corpus-derived
+    in practice (each repo's defined modules); broadcast by default since
+    it is typically orders of magnitude smaller than the import
+    occurrence stream, set ``broadcast_owners=False`` to let AQE plan a
+    shuffle join when it is not.
+
+    Unresolved modules (stdlib, third-party, not in ``owners``) drop via
+    the inner join; intra-repo imports drop via the self-edge filter.
+    Output: (src_repo, dst_repo, n_links, n_modules) where n_links counts
+    import occurrences and n_modules counts distinct imported modules.
+    """
+    own = owners.select(
+        F.col("module").alias("_own_module"), F.col("repo").alias("dst_repo")
+    )
+    if broadcast_owners:
+        own = F.broadcast(own)
+    resolved = imports.join(
+        own, imports["module"] == own["_own_module"], "inner"
+    ).where(F.col("repo") != F.col("dst_repo"))
+    return (
+        resolved.groupBy(F.col("repo").alias("src_repo"), "dst_repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("module").alias("n_modules"),
+        )
+    )
