@@ -839,21 +839,12 @@ def q_cube_counts(spark, sf_dir):
     )
 
 
-def q_code_import_graph(spark, sf_dir):
-    """Code-native KG surface over the input_hint corpus (repo, path, lang,
-    content): synthesize deterministic py/c/js source files from the driver
-    documents table (media_features_real convention — the synthesis formula
-    is replicated verbatim in the oracle), run the REAL per-language regex
-    import extractors (operators.codegraph), resolve module ownership via
-    the broadcast owners table, and return the repo→repo dependency edges.
-
-    The extraction regexes themselves are under the cross-engine hash gate
-    (DuckDB runs the IDENTICAL patterns through RE2), including the
-    negative cases: each synthesized file carries a line-commented import
-    that the anchored patterns must NOT match.  All module/lang choices are
+def _codegraph_docs_owners(spark, sf_dir):
+    """Deterministic code corpus (repo, path, lang, content) + module
+    ownership table, synthesized from the driver documents table with pure
     integer arithmetic on doc_id (`div`/`//` agree for nonnegative ints),
-    so both engines synthesize byte-identical corpora.
-    """
+    so DuckDB synthesizes a byte-identical corpus.  Shared by
+    code_import_graph and repo_pagerank."""
     raw = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
     # integer division via SQL `div` (matches DuckDB `//` on nonnegatives)
@@ -914,7 +905,50 @@ def q_code_import_graph(spark, sf_dir):
         ).alias("module"),
         F.concat(F.lit("src"), F.expr("cast(id % 5 as string)")).alias("repo"),
     )
+    return docs, owners
+
+
+def q_code_import_graph(spark, sf_dir):
+    """Code-native KG surface over the input_hint corpus (repo, path, lang,
+    content): synthesize deterministic py/c/js source files from the driver
+    documents table (media_features_real convention — the synthesis formula
+    is replicated verbatim in the oracle), run the REAL per-language regex
+    import extractors (operators.codegraph), resolve module ownership via
+    the broadcast owners table, and return the repo→repo dependency edges.
+
+    The extraction regexes themselves are under the cross-engine hash gate
+    (DuckDB runs the IDENTICAL patterns through RE2), including the
+    negative cases: each synthesized file carries a line-commented import
+    that the anchored patterns must NOT match.
+    """
+    docs, owners = _codegraph_docs_owners(spark, sf_dir)
     return repo_dependency_edges(extract_import_edges(docs), owners)
+
+
+def q_repo_pagerank(spark, sf_dir):
+    """Most-depended-on repo: the codegraph dependency edges symmetrized
+    into a distinct undirected edge set, ranked by the same fixed-iteration
+    integer PageRank as kg_pagerank (BIGINT fixed-point mass — the rank
+    vector is bit-identical at any parallelism).  The full composition —
+    regex import extraction → ownership join → graph centrality — is the
+    code-corpus KG analytics endgame, and the oracle replays ALL of it:
+    RE2 runs the identical extraction regexes, chained CTEs unroll the
+    identical integer iterations."""
+    from military_entity_extraction_based_on_large_models_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    docs, owners = _codegraph_docs_owners(spark, sf_dir)
+    dep = repo_dependency_edges(extract_import_edges(docs), owners).select(
+        F.col("src_repo").alias("src"), F.col("dst_repo").alias("dst")
+    )
+    # A→B and B→A may BOTH exist as dependency edges, so symmetrize with a
+    # distinct union (UNION in the oracle), not unionAll, to keep the
+    # undirected degree multiplicity identical across engines.
+    edges = dep.unionByName(
+        dep.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return pagerank(edges, n_iters=5).withColumnRenamed("node", "repo")
 
 
 def q_multi_entity_docs(spark, sf_dir):
@@ -1983,6 +2017,92 @@ def _mention_scores_learned_sql() -> str:
         """
 
 
+# Shared CTE chain of the codegraph oracles: deterministic corpus synthesis
+# (byte-identical to _codegraph_docs_owners), the IDENTICAL extraction
+# regexes run through RE2, normalization, and the ownership table.
+# NOTE raw string: regex patterns below must reach RE2 verbatim.
+_CODEGRAPH_SQL_PREFIX = r"""
+            WITH synth AS (
+              SELECT doc_id, source,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 'py' WHEN 1 THEN 'c' ELSE 'js' END AS lang,
+                'mod_src' || CAST((doc_id + doc_id // 20) % 5 AS VARCHAR)
+                  || '_' || CAST((doc_id // 3) % 4 AS VARCHAR) AS m1,
+                'mod_src' || CAST((doc_id*3 + doc_id // 7 + 1) % 5 AS VARCHAR)
+                  || '_' || CAST((doc_id // 5 + 2) % 4 AS VARCHAR) AS m2
+              FROM documents
+            ), code AS (
+              SELECT doc_id, source, lang,
+                CASE lang
+                  WHEN 'py' THEN 'import ' || m1 || chr(10)
+                    || '  from ' || m2 || ' import core' || chr(10)
+                    || '# import shadow_mod' || chr(10) || 'value = 1'
+                  WHEN 'c' THEN '#include <' || m1 || '.h>' || chr(10)
+                    || '  #include "' || m2 || '.h"' || chr(10)
+                    || '// #include <shadow.h>' || chr(10)
+                    || 'int main() { return 0; }'
+                  ELSE 'const a = require(''' || m1 || ''');' || chr(10)
+                    || 'import core from ''' || m2 || ''';' || chr(10)
+                    || '// import fake from ''shadow''' || chr(10)
+                    || 'let x = 1'
+                END AS content
+              FROM synth
+            ), pats AS (
+              SELECT * FROM (VALUES
+                ('py', '(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)'),
+                ('py', '(?m)^[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import'),
+                ('c',  '(?m)^[ \t]*#[ \t]*include[ \t]*[<"]([A-Za-z0-9_./]+)[>"]'),
+                ('js', 'require\([ \t]*''([^'']+)''[ \t]*\)'),
+                ('js', 'require\([ \t]*"([^"]+)"[ \t]*\)'),
+                ('js', '(?m)^[ \t]*import[ \t][^;\n]*[ \t]from[ \t]+''([^'']+)'''),
+                ('js', '(?m)^[ \t]*import[ \t][^;\n]*[ \t]from[ \t]+"([^"]+)"'),
+                ('js', '(?m)^[ \t]*import[ \t]+''([^'']+)''')
+              ) p(plang, pat)
+            ), imports AS (
+              SELECT doc_id, source,
+                     unnest(regexp_extract_all(content, pat, 1)) AS raw_module
+              FROM code JOIN pats ON code.lang = pats.plang
+            ), norm AS (
+              SELECT doc_id, source,
+                regexp_replace(regexp_replace(raw_module, '^\./', ''),
+                               '\.(h|hpp)$', '') AS module
+              FROM imports
+            ), owners AS (
+              SELECT 'mod_src' || CAST(i % 5 AS VARCHAR) || '_'
+                       || CAST(i // 5 AS VARCHAR) AS module,
+                     'src' || CAST(i % 5 AS VARCHAR) AS repo
+              FROM range(20) t(i)
+            )
+"""
+
+
+def _repo_pagerank_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.pagerank import (
+        pagerank_sql,
+    )
+
+    # Nested WITH (the codegraph prefix inside pr_edges) is valid DuckDB;
+    # UNION (distinct) symmetrizes exactly like the Spark union+distinct.
+    edges = (
+        _CODEGRAPH_SQL_PREFIX
+        + """
+            , dep AS (
+              SELECT DISTINCT n.source AS a, o.repo AS b
+              FROM norm n JOIN owners o ON n.module = o.module
+              WHERE n.source <> o.repo
+            )
+            SELECT a AS src, b AS dst FROM dep
+            UNION
+            SELECT b AS src, a AS dst FROM dep
+        """
+    )
+    return (
+        "SELECT node AS repo, rank_fixed, rank FROM ("
+        + pagerank_sql(edges, n_iters=5)
+        + ") pr_final"
+    )
+
+
 def _kg_pagerank_sql() -> str:
     from military_entity_extraction_based_on_large_models_spark.operators.pagerank import (
         pagerank_sql,
@@ -2191,59 +2311,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS INT) AS matched
             FROM i
         """,
-        # NOTE raw string: regex patterns below must reach RE2 verbatim.
-        "code_import_graph": r"""
-            WITH synth AS (
-              SELECT doc_id, source,
-                CASE CAST(doc_id % 3 AS INT)
-                  WHEN 0 THEN 'py' WHEN 1 THEN 'c' ELSE 'js' END AS lang,
-                'mod_src' || CAST((doc_id + doc_id // 20) % 5 AS VARCHAR)
-                  || '_' || CAST((doc_id // 3) % 4 AS VARCHAR) AS m1,
-                'mod_src' || CAST((doc_id*3 + doc_id // 7 + 1) % 5 AS VARCHAR)
-                  || '_' || CAST((doc_id // 5 + 2) % 4 AS VARCHAR) AS m2
-              FROM documents
-            ), code AS (
-              SELECT doc_id, source, lang,
-                CASE lang
-                  WHEN 'py' THEN 'import ' || m1 || chr(10)
-                    || '  from ' || m2 || ' import core' || chr(10)
-                    || '# import shadow_mod' || chr(10) || 'value = 1'
-                  WHEN 'c' THEN '#include <' || m1 || '.h>' || chr(10)
-                    || '  #include "' || m2 || '.h"' || chr(10)
-                    || '// #include <shadow.h>' || chr(10)
-                    || 'int main() { return 0; }'
-                  ELSE 'const a = require(''' || m1 || ''');' || chr(10)
-                    || 'import core from ''' || m2 || ''';' || chr(10)
-                    || '// import fake from ''shadow''' || chr(10)
-                    || 'let x = 1'
-                END AS content
-              FROM synth
-            ), pats AS (
-              SELECT * FROM (VALUES
-                ('py', '(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)'),
-                ('py', '(?m)^[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import'),
-                ('c',  '(?m)^[ \t]*#[ \t]*include[ \t]*[<"]([A-Za-z0-9_./]+)[>"]'),
-                ('js', 'require\([ \t]*''([^'']+)''[ \t]*\)'),
-                ('js', 'require\([ \t]*"([^"]+)"[ \t]*\)'),
-                ('js', '(?m)^[ \t]*import[ \t][^;\n]*[ \t]from[ \t]+''([^'']+)'''),
-                ('js', '(?m)^[ \t]*import[ \t][^;\n]*[ \t]from[ \t]+"([^"]+)"'),
-                ('js', '(?m)^[ \t]*import[ \t]+''([^'']+)''')
-              ) p(plang, pat)
-            ), imports AS (
-              SELECT doc_id, source,
-                     unnest(regexp_extract_all(content, pat, 1)) AS raw_module
-              FROM code JOIN pats ON code.lang = pats.plang
-            ), norm AS (
-              SELECT doc_id, source,
-                regexp_replace(regexp_replace(raw_module, '^\./', ''),
-                               '\.(h|hpp)$', '') AS module
-              FROM imports
-            ), owners AS (
-              SELECT 'mod_src' || CAST(i % 5 AS VARCHAR) || '_'
-                       || CAST(i // 5 AS VARCHAR) AS module,
-                     'src' || CAST(i % 5 AS VARCHAR) AS repo
-              FROM range(20) t(i)
-            )
+        "code_import_graph": _CODEGRAPH_SQL_PREFIX + """
             SELECT n.source AS src_repo, o.repo AS dst_repo,
                    count(*) AS n_links, count(DISTINCT n.module) AS n_modules
             FROM norm n JOIN owners o ON n.module = o.module
@@ -3051,6 +3119,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "kg_doc_sha": q_kg_doc_sha,
         "events_daily": q_events_daily,
+        "repo_pagerank": q_repo_pagerank,
         "events_sessions": q_events_sessions,
         "doc_boilerplate": q_doc_boilerplate,
         "kg_pmi": q_kg_pmi,
@@ -3458,4 +3527,5 @@ def retired_oracle_sql() -> dict[str, str]:
         "events_sessions": _events_sessions_sql(),
         "doc_boilerplate": _doc_boilerplate_sql(),
         "kg_pmi": _kg_pmi_sql(),
+        "repo_pagerank": _repo_pagerank_sql(),
     }
