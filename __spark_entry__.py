@@ -44,6 +44,7 @@ from military_entity_extraction_based_on_large_models_spark.operators.canonicali
     canonical_clusters,
 )
 from military_entity_extraction_based_on_large_models_spark.operators.codegraph import (
+    dedup_normalized_code,
     extract_import_edges,
     repo_dependency_edges,
 )
@@ -923,6 +924,40 @@ def q_code_import_graph(spark, sf_dir):
     """
     docs, owners = _codegraph_docs_owners(spark, sf_dir)
     return repo_dependency_edges(extract_import_edges(docs), owners)
+
+
+def q_code_dedup_normalized(spark, sf_dir):
+    """The Stack/StarCoder-style code dedup: group files on the
+    comment-stripped whitespace-collapsed normalization key
+    (codegraph.normalize_code) — one partial+final hash aggregate, the
+    exact_dedup scale shape.  Fixture discriminates hard: every
+    synthesized file gets a UNIQUE trailing comment (its path) plus
+    parity-dependent indentation and, for c/js, a unique block comment —
+    raw contents are all distinct, so every multi-file clone class the
+    query reports exists ONLY because normalization removed the noise.
+    The oracle replays the same regexes (with the 'g' flag — DuckDB
+    replaces first-match by default) and the same min-struct
+    representative."""
+    docs, _ = _codegraph_docs_owners(spark, sf_dir)
+    even = F.expr("cast(path as int) % 2 = 0")
+    line_marker = F.when(F.col("lang") == "py", F.lit("\n# note ")).otherwise(
+        F.lit("\n// note ")
+    )
+    block = F.when(
+        F.col("lang") != "py",
+        F.concat(F.lit("\n/* blk "), F.col("path"), F.lit(" */")),
+    ).otherwise(F.lit(""))
+    noisy = docs.withColumn(
+        "content",
+        F.concat(
+            F.when(even, F.lit("  ")).otherwise(F.lit("")),
+            F.col("content"),
+            line_marker,
+            F.col("path"),
+            block,
+        ),
+    )
+    return dedup_normalized_code(noisy)
 
 
 def q_repo_pagerank(spark, sf_dir):
@@ -2076,6 +2111,45 @@ _CODEGRAPH_SQL_PREFIX = r"""
 """
 
 
+# NOTE raw string: normalization regexes must reach RE2 verbatim; 'g'
+# flag everywhere — DuckDB regexp_replace is first-match by default where
+# Spark's is global.
+_CODE_DEDUP_NORMALIZED_SQL = _CODEGRAPH_SQL_PREFIX + r"""
+            , noisy AS (
+              SELECT lang, source AS repo, CAST(doc_id AS VARCHAR) AS path,
+                CASE WHEN doc_id % 2 = 0 THEN '  ' ELSE '' END
+                || content
+                || CASE WHEN lang = 'py' THEN chr(10) || '# note '
+                        ELSE chr(10) || '// note ' END
+                || CAST(doc_id AS VARCHAR)
+                || CASE WHEN lang <> 'py'
+                        THEN chr(10) || '/* blk ' || CAST(doc_id AS VARCHAR) || ' */'
+                        ELSE '' END AS content
+              FROM code
+            ), normed AS (
+              SELECT lang, repo, path,
+                sha256(trim(regexp_replace(
+                  CASE WHEN lang = 'py'
+                    THEN regexp_replace(content, '(?m)#[^\n]*', '', 'g')
+                    ELSE regexp_replace(
+                           regexp_replace(content, '(?m)//[^\n]*', '', 'g'),
+                           '(?s)/\*.*?\*/', '', 'g')
+                  END,
+                  '[ \t\r\n]+', ' ', 'g'))) AS norm_sha
+              FROM noisy
+            ), grouped AS (
+              SELECT lang, norm_sha,
+                     min(struct_pack(repo := repo, path := path)) AS rep,
+                     count(*) AS n_files,
+                     count(DISTINCT repo) AS n_repos
+              FROM normed GROUP BY lang, norm_sha
+            )
+            SELECT lang, norm_sha, rep.repo AS rep_repo, rep.path AS rep_path,
+                   n_files, n_repos
+            FROM grouped
+"""
+
+
 def _repo_pagerank_sql() -> str:
     from military_entity_extraction_based_on_large_models_spark.operators.pagerank import (
         pagerank_sql,
@@ -3120,6 +3194,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_doc_sha": q_kg_doc_sha,
         "events_daily": q_events_daily,
         "repo_pagerank": q_repo_pagerank,
+        "code_dedup_normalized": q_code_dedup_normalized,
         "events_sessions": q_events_sessions,
         "doc_boilerplate": q_doc_boilerplate,
         "kg_pmi": q_kg_pmi,
@@ -3528,4 +3603,5 @@ def retired_oracle_sql() -> dict[str, str]:
         "doc_boilerplate": _doc_boilerplate_sql(),
         "kg_pmi": _kg_pmi_sql(),
         "repo_pagerank": _repo_pagerank_sql(),
+        "code_dedup_normalized": _CODE_DEDUP_NORMALIZED_SQL,
     }

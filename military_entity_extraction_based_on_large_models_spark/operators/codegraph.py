@@ -112,6 +112,89 @@ def extract_import_edges(
     )
 
 
+# Comment syntax per language for normalize_code.  Block comments are
+# stripped with a non-greedy dotall pattern (identical semantics in Java
+# regex and RE2); line comments with an end-of-line run.  Whitespace is
+# collapsed with an EXPLICIT class — Java \s includes \x0B, RE2's does
+# not, so \s is banned by the shared-dialect convention.
+_BLOCK_COMMENT = r"(?s)/\*.*?\*/"
+_LINE_COMMENT: dict[str, str] = {
+    "py": r"(?m)#[^\n]*",
+    "c": r"(?m)//[^\n]*",
+    "js": r"(?m)//[^\n]*",
+}
+_WS_RUN = r"[ \t\r\n]+"
+
+
+def normalize_code(content, lang):
+    """Canonical form of a source file for exact-dedup grouping: strip
+    comments (per-language line syntax; /* */ blocks for c/js), collapse
+    every whitespace run to one space, trim.  The Stack/StarCoder-style
+    near-clone key — two files differing only in comments or formatting
+    normalize identically.  Pure codegen regexp_replace chain; patterns
+    stay in the shared Java-regex/RE2 subset so a DuckDB oracle replays
+    the normalization byte-for-byte (with the 'g' flag — DuckDB replaces
+    first-match by default, Spark replaces all).
+
+    Documented lexical limit: a comment marker inside a string literal is
+    treated as a comment (this is canonicalization for dedup grouping,
+    not parsing — false merges need the REST of the file identical too).
+    """
+    lang = F.col(lang) if isinstance(lang, str) else lang
+    stripped = None
+    for lg, pat in _LINE_COMMENT.items():
+        no_line = F.regexp_replace(content, pat, "")
+        if lg in ("c", "js"):
+            no_line = F.regexp_replace(no_line, _BLOCK_COMMENT, "")
+        branch = (lang == lg, no_line)
+        stripped = F.when(*branch) if stripped is None else stripped.when(*branch)
+    stripped = stripped.otherwise(content)
+    return F.trim(F.regexp_replace(stripped, _WS_RUN, " "))
+
+
+def dedup_normalized_code(
+    docs: DataFrame,
+    content_col: str = "content",
+    lang_col: str = "lang",
+    repo_col: str = "repo",
+    path_col: str = "path",
+) -> DataFrame:
+    """Exact dedup on the :func:`normalize_code` key → one row per clone
+    class: (lang, norm_sha, rep_repo, rep_path, n_files, n_repos).
+
+    Representative = min (repo, path) pair — deterministic, engine-
+    independent lexicographic order.  Scale shape: one partial+final hash
+    aggregate on (lang, sha) — the same degenerate-class-proof shape as
+    operators/dedup.exact_dedup (a million identical vendored files cost
+    one row per map task); the raw normalized string never shuffles, only
+    its sha plus the min struct.
+    """
+    lang = F.col(lang_col)
+    keyed = docs.select(
+        lang.alias("lang"),
+        F.sha2(normalize_code(F.col(content_col), lang), 256).alias("norm_sha"),
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+    )
+    rep = F.min(F.struct("repo", "path")).alias("rep")
+    return (
+        keyed.groupBy("lang", "norm_sha")
+        .agg(
+            rep,
+            F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct("repo").alias("n_repos"),
+        )
+        .select(
+            "lang",
+            "norm_sha",
+            F.col("rep.repo").alias("rep_repo"),
+            F.col("rep.path").alias("rep_path"),
+            "n_files",
+            "n_repos",
+        )
+    )
+
+
 def repo_dependency_edges(
     imports: DataFrame,
     owners: DataFrame,

@@ -1,12 +1,15 @@
 """Import-graph extraction: per-language regex semantics, normalization,
-ownership resolution, and the shuffle-free / broadcast plan shapes."""
+ownership resolution, the shuffle-free / broadcast plan shapes, and the
+normalized-code dedup key."""
 
 import pytest
 
 from pyspark.sql import functions as F
 
 from military_entity_extraction_based_on_large_models_spark.operators.codegraph import (
+    dedup_normalized_code,
     extract_import_edges,
+    normalize_code,
     repo_dependency_edges,
 )
 
@@ -131,3 +134,64 @@ class TestDependencyEdges:
             ).collect()
         }
         assert a == b
+
+
+class TestNormalizeCode:
+    def _norm(self, spark, lang, content):
+        df = spark.createDataFrame([(lang, content)], "lang string, content string")
+        return df.select(
+            normalize_code(F.col("content"), F.col("lang")).alias("n")
+        ).collect()[0]["n"]
+
+    def test_python_comments_and_ws(self, spark):
+        src = "x = 1   # trailing\n# full line\n\n\ny  =\t2\n"
+        assert self._norm(spark, "py", src) == "x = 1 y = 2"
+
+    def test_c_line_and_block_comments(self, spark):
+        src = "int a; // line\nint b; /* one\n   two */ int c;\n"
+        assert self._norm(spark, "c", src) == "int a; int b; int c;"
+
+    def test_js_block_comments_nongreedy(self, spark):
+        # non-greedy: two blocks strip independently, code between survives
+        src = "let a /* x */ = 1; /* y */ let b = 2;"
+        assert self._norm(spark, "js", src) == "let a = 1; let b = 2;"
+
+    def test_unknown_lang_passthrough_ws_only(self, spark):
+        assert self._norm(spark, "en", "a  # not code\n b") == "a # not code b"
+
+    def test_accepts_column_name_string(self, spark):
+        df = spark.createDataFrame([("py", "a # c")], "lang string, content string")
+        got = df.select(normalize_code(F.col("content"), "lang").alias("n"))
+        assert got.collect()[0]["n"] == "a"
+
+    def test_dedup_groups_only_differ_by_noise(self, spark):
+        rows = [
+            ("r1", "a.py", "py", "x = 1  # alpha\ny = 2\n"),
+            ("r2", "b.py", "py", "x = 1\n# beta\ny  =  2"),   # clone modulo noise
+            ("r1", "c.py", "py", "x = 3\n"),                   # different code
+            ("r1", "d.c",  "c",  "x = 1\ny = 2 // c lang\n"),  # same text, other lang
+        ]
+        df = spark.createDataFrame(rows, "repo string, path string, lang string, content string")
+        out = {
+            (r["lang"], r["rep_repo"], r["rep_path"]): (r["n_files"], r["n_repos"])
+            for r in dedup_normalized_code(df).collect()
+        }
+        # min-struct representative: ('r1','a.py') < ('r2','b.py')
+        assert out[("py", "r1", "a.py")] == (2, 2)
+        assert out[("py", "r1", "c.py")] == (1, 1)
+        assert out[("c", "r1", "d.c")] == (1, 1)
+
+    def test_dedup_plan_no_window(self, spark):
+        df = spark.createDataFrame(
+            [("r", "p", "py", "x = 1")],
+            "repo string, path string, lang string, content string",
+        )
+        plan = (
+            dedup_normalized_code(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # degenerate-class-proof shape: map-side partial_min before any
+        # exchange (min over a struct plans as SortAggregate — structs are
+        # not hash-aggregable — but it is still algebraic/partial), and
+        # never a single-reducer Window over the clone class
+        assert "Window" not in plan and "partial_min" in plan

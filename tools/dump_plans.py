@@ -52,6 +52,7 @@ def build_sections(spark):
     from military_entity_extraction_based_on_large_models_spark.operators import (
         assoc,
         boilerplate,
+        codegraph,
         dedup,
         pagerank,
         ranking,
@@ -93,6 +94,11 @@ def build_sections(spark):
         F.col("ts").alias("end"),
         F.col("event_id").alias("iid"),
     )
+
+    # the registered code_import_graph corpus (same synthesis, same plan)
+    import __spark_entry__ as _entry
+
+    _cg_docs, _cg_owners = _entry._codegraph_docs_owners(spark, SF_DIR)
 
     return [
         (
@@ -212,6 +218,18 @@ def build_sections(spark):
                     F.col("event_id").alias("doc_id"),
                 ),
                 materialize=False,
+            ),
+        ),
+        (
+            "Code import-graph → repo dependency edges",
+            "Claim: import extraction is a shuffle-free codegen projection "
+            "(per-lang CASE over regexp_extract_all + one explode/Generate); "
+            "module→owner resolution is a BroadcastHashJoin; the per-(src,"
+            "dst) edge rollup is a partial+final hash aggregate.  Gates: "
+            "tests/test_codegraph.py::test_extraction_plan_is_shuffle_free, "
+            "::test_owners_broadcast_plan.",
+            codegraph.repo_dependency_edges(
+                codegraph.extract_import_edges(_cg_docs), _cg_owners
             ),
         ),
         (
