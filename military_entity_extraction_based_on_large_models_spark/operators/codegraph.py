@@ -195,6 +195,59 @@ def dedup_normalized_code(
     )
 
 
+def owners_from_paths(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    strip_prefixes: tuple[str, ...] = ("src/", "lib/", "include/"),
+) -> DataFrame:
+    """Derive the module-ownership table from the corpus itself: which
+    repo DEFINES each importable module name, from file paths alone — so
+    the dependency-graph family needs no external input (corpus →
+    owners_from_paths → extract_import_edges → repo_dependency_edges).
+
+    Path → module per language, mirroring how the import extractors
+    normalize (so derived names join against extracted names):
+
+    * py: ``a/b/c.py`` → ``a.b.c``; ``a/b/__init__.py`` → ``a.b``
+    * c:  ``foo/api.h`` / ``.hpp`` → ``foo/api`` (the include path, the
+      same form extract_import_edges leaves after extension strip)
+    * js: ``a/b/mod.js`` → ``a/b/mod`` (require/import path form)
+
+    One conventional source root prefix (``strip_prefixes``, first match
+    wins, applied once) is dropped first: ``src/pkg/m.py`` defines
+    ``pkg.m``.  Ambiguity is the caller's domain: if two repos define the
+    same module, BOTH rows survive and a downstream join fans out —
+    deduplicate with a policy (e.g. min repo) if the corpus has vendored
+    copies.  Output: (module, repo), distinct.  Pure codegen projection +
+    one distinct; patterns in the shared Java-regex/RE2 subset.
+    """
+    lang = F.col(lang_col)
+    p = F.col(path_col)
+    p = F.regexp_replace(p, r"^\./", "")
+    for pre in strip_prefixes:
+        p = F.regexp_replace(p, "^" + pre, "")
+    ext = F.regexp_replace(p, r"\.(py|c|h|hpp|js)$", "")
+    module = (
+        F.when(
+            lang == "py",
+            F.regexp_replace(
+                F.regexp_replace(ext, r"/__init__$", ""), "/", "."
+            ),
+        )
+        .when(lang.isin("c", "js"), ext)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        docs.select(
+            module.alias("module"), F.col(repo_col).alias("repo")
+        )
+        .where(F.col("module").isNotNull())
+        .distinct()
+    )
+
+
 def repo_dependency_edges(
     imports: DataFrame,
     owners: DataFrame,
@@ -204,8 +257,9 @@ def repo_dependency_edges(
     repo→repo dependency edge list.
 
     ``imports``: output of :func:`extract_import_edges` (repo, path,
-    module).  ``owners``: (module, repo) ownership table — corpus-derived
-    in practice (each repo's defined modules); broadcast by default since
+    module).  ``owners``: (module, repo) ownership table — derive it from
+    the corpus itself with :func:`owners_from_paths`, or supply a curated
+    registry (PyPI/npm name → repo); broadcast by default since
     it is typically orders of magnitude smaller than the import
     occurrence stream, set ``broadcast_owners=False`` to let AQE plan a
     shuffle join when it is not.

@@ -195,3 +195,65 @@ class TestNormalizeCode:
         # not hash-aggregable — but it is still algebraic/partial), and
         # never a single-reducer Window over the clone class
         assert "Window" not in plan and "partial_min" in plan
+
+
+class TestOwnersFromPaths:
+    def _owners(self, spark, rows):
+        from military_entity_extraction_based_on_large_models_spark.operators.codegraph import (
+            owners_from_paths,
+        )
+
+        df = spark.createDataFrame(rows, "repo string, path string, lang string")
+        return {
+            (r["module"], r["repo"]) for r in owners_from_paths(df).collect()
+        }
+
+    def test_module_derivation_per_lang(self, spark):
+        got = self._owners(
+            spark,
+            [
+                ("ra", "src/pkg/mod.py", "py"),
+                ("ra", "pkg/__init__.py", "py"),
+                ("rb", "include/foo/api.h", "c"),
+                ("rb", "./lib/util.hpp", "c"),
+                ("rc", "a/b/mod.js", "js"),
+                ("rc", "notes/readme.md", "en"),  # unknown lang drops
+            ],
+        )
+        assert got == {
+            ("pkg.mod", "ra"),
+            ("pkg", "ra"),
+            ("foo/api", "rb"),
+            ("util", "rb"),
+            ("a/b/mod", "rc"),
+        }
+
+    def test_end_to_end_without_external_owners(self, spark):
+        """corpus → owners_from_paths → extract → edges, no external input:
+        repo-b's file imports the module repo-a's path defines."""
+        from military_entity_extraction_based_on_large_models_spark.operators.codegraph import (
+            owners_from_paths,
+        )
+
+        docs = _docs(
+            spark,
+            [
+                ("repo-a", "src/pkg/core.py", "py", "value = 1\n"),
+                ("repo-b", "src/app.py", "py", "import pkg.core\n"),
+            ],
+        )
+        owners = owners_from_paths(docs.select("repo", "path", "lang"))
+        edges = {
+            (r["src_repo"], r["dst_repo"], r["n_links"])
+            for r in repo_dependency_edges(
+                extract_import_edges(docs), owners
+            ).collect()
+        }
+        assert edges == {("repo-b", "repo-a", 1)}
+
+    def test_duplicate_definitions_both_survive(self, spark):
+        got = self._owners(
+            spark,
+            [("r1", "m.py", "py"), ("r2", "m.py", "py"), ("r1", "m.py", "py")],
+        )
+        assert got == {("m", "r1"), ("m", "r2")}
