@@ -48,6 +48,10 @@ from military_entity_extraction_based_on_large_models_spark.operators.codegraph 
     extract_import_edges,
     repo_dependency_edges,
 )
+from military_entity_extraction_based_on_large_models_spark.operators.winnow import (
+    clone_pairs,
+    winnow_fingerprints,
+)
 from military_entity_extraction_based_on_large_models_spark.plans.pipeline import (
     kg_mentions,
     kg_pipeline,
@@ -3156,6 +3160,149 @@ def _kg_pmi_sql() -> str:
     return pmi_sql(pairs)
 
 
+def q_doc_winnow_fp(spark, sf_dir):
+    """Winnowing fingerprints (MOSS — Schleimer et al., SIGMOD 2003) of
+    every document: k=8 grams, window w=4, robust rightmost-min tie rule.
+    The WHOLE selection algorithm is under the cross-engine hash gate —
+    the (hash, -pos) pairs are packed into one BIGINT so a plain integer
+    ``min`` is the argmin in both engines, and the 40-bit gram hash is
+    the md5->BIGINT device (operators/ranking.py).  The Spark plan is a
+    single shuffle-free nested-HOF projection + explode; the DuckDB twin
+    runs the identical list pipeline (list_transform / list_min /
+    list_distinct).  Unlike doc_fingerprint (one whole-doc hash), this
+    emits the MOSS guarantee: any shared run >= w + k - 1 = 11 normalized
+    chars between two docs yields at least one identical fingerprint."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(docs, k=8, w=4)
+
+
+def _clone_corpus(spark, sf_dir):
+    """Deterministic code corpus with PLANTED partial clones, synthesized
+    from doc_id with pure integer arithmetic + md5 (the codegraph fixture
+    convention — the oracle replays the identical formula).  Every file
+    body is globally unique (an md5 hex literal); 40% of files
+    (doc_id % 5 < 2) additionally carry a group-shared utility function
+    (group = doc_id div 50), so true clone pairs exist ONLY within a
+    group, while the function's group-independent middle ('(x): y = x *
+    31 + …') is corpus-wide boilerplate that the df cap must drop."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("x_"),
+            F.md5(F.col("doc_id").cast("string")),
+            F.lit(" = "),
+            (F.col("doc_id") % 97).cast("string"),
+            F.when(
+                F.col("doc_id") % 5 < 2,
+                F.concat(
+                    F.lit("\ndef util_"),
+                    F.expr("cast(doc_id div 50 as string)"),
+                    F.lit("(x):\n    y = x * 31 + "),
+                    F.expr("cast(doc_id div 50 as string)"),
+                    F.lit("\n    return y % 1000\n"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("content"),
+    )
+
+
+def q_code_clone_pairs(spark, sf_dir):
+    """MOSS clone detection end-to-end over the synthesized code corpus:
+    winnow fingerprints -> posting-list equi self-join -> shared-count +
+    containment score.  The df cap (max_df=50) is exercised for real: the
+    planted utility function's group-independent middle appears in 40% of
+    the corpus (df 200 at sf0.01), so only group-salted fingerprints may
+    count as evidence and reported pairs stay within their plant group.
+    The oracle replicates synthesis, winnowing, caps, join, and the
+    single-division IEEE score."""
+    fps = winnow_fingerprints(
+        _clone_corpus(spark, sf_dir), k=8, w=4, text_col="content"
+    )
+    return clone_pairs(fps, min_shared=2, min_score=0.2, max_df=50)
+
+
+def _winnow_fp_sql(docs_cte: str, k: int = 8, w: int = 4) -> str:
+    """The winnow pipeline replayed in DuckDB over a docs(doc_id, text)
+    CTE: identical normalization regex, identical md5->40-bit gram hash,
+    identical (hash, -pos) BIGINT packing, identical sliding list_min
+    selection.  Returns the WITH chain up to wn_f(doc_id, key); callers
+    append their final SELECT.  Mirrors operators/winnow.py bit-for-bit
+    (validated three ways: Spark HOF = pure python = this SQL)."""
+    return rf"""
+            WITH docs AS ({docs_cte}
+            ), wn_d AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
+              FROM docs
+            ), wn_g AS (
+              SELECT doc_id,
+                CASE WHEN length(norm) - {k - 1} >= 1 THEN
+                  list_transform(range(1, length(norm) - {k - 1} + 1),
+                    i -> CAST('0x' || substring(md5(substring(norm, i, {k})), 4, 10) AS BIGINT) * 1048576
+                         + (1048575 - i))
+                ELSE [] END AS keys
+              FROM wn_d
+            ), wn_sel AS (
+              SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(keys) - {w - 1}, 1) + 1),
+                  w0 -> list_min(keys[w0 : w0 + {w - 1}]))) AS picked
+              FROM wn_g WHERE len(keys) >= 1
+            ), wn_f AS (
+              SELECT doc_id, unnest(picked) AS key FROM wn_sel
+            )"""
+
+
+_WINNOW_FP_FINAL_SQL = """
+            SELECT doc_id, key // 1048576 AS fp,
+                   CAST(1048575 - key % 1048576 AS INT) AS pos
+            FROM wn_f
+"""
+
+# the q_code_clone_pairs corpus synthesized in SQL (same formula as
+# _clone_corpus; `//` = Spark's `div` on nonnegative doc_id)
+_CLONE_CORPUS_SQL = r"""
+              SELECT doc_id,
+                'x_' || md5(CAST(doc_id AS VARCHAR)) || ' = '
+                || CAST(doc_id % 97 AS VARCHAR)
+                || CASE WHEN doc_id % 5 < 2 THEN
+                     chr(10) || 'def util_' || CAST(doc_id // 50 AS VARCHAR)
+                     || '(x):' || chr(10)
+                     || '    y = x * 31 + ' || CAST(doc_id // 50 AS VARCHAR)
+                     || chr(10) || '    return y % 1000' || chr(10)
+                   ELSE '' END AS text
+              FROM documents
+"""
+
+_CODE_CLONE_PAIRS_SQL = (
+    _winnow_fp_sql(_CLONE_CORPUS_SQL)
+    + """
+            , postings AS (
+              SELECT DISTINCT doc_id AS id, key // 1048576 AS fp FROM wn_f
+            ), doc_n AS (
+              SELECT id, count(*) AS n FROM postings GROUP BY id
+            ), dfc AS (
+              SELECT fp FROM postings GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 50
+            ), pooled AS (
+              SELECT p.id, p.fp FROM postings p JOIN dfc USING (fp)
+            ), shared AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+              FROM pooled a JOIN pooled b ON a.fp = b.fp AND a.id < b.id
+              GROUP BY 1, 2
+              HAVING count(*) >= 2
+            ), scored AS (
+              SELECT s.id_a, s.id_b, s.shared, na.n AS n_a, nb.n AS n_b,
+                     CAST(s.shared AS DOUBLE) / least(na.n, nb.n) AS score
+              FROM shared s
+              JOIN doc_n na ON na.id = s.id_a
+              JOIN doc_n nb ON nb.id = s.id_b
+            )
+            SELECT id_a, id_b, shared, n_a, n_b, score
+            FROM scored WHERE score >= 0.2
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # retired driver entries (registry held at the driver's 50-row recording cap)
 # --------------------------------------------------------------------------
@@ -3198,6 +3345,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "doc_boilerplate": q_doc_boilerplate,
         "kg_pmi": q_kg_pmi,
+        "doc_winnow_fp": q_doc_winnow_fp,
+        "code_clone_pairs": q_code_clone_pairs,
     }
 
 
@@ -3604,4 +3753,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "kg_pmi": _kg_pmi_sql(),
         "repo_pagerank": _repo_pagerank_sql(),
         "code_dedup_normalized": _CODE_DEDUP_NORMALIZED_SQL,
+        "doc_winnow_fp": _winnow_fp_sql("SELECT doc_id, text FROM documents")
+        + _WINNOW_FP_FINAL_SQL,
+        "code_clone_pairs": _CODE_CLONE_PAIRS_SQL,
     }
