@@ -48,6 +48,10 @@ from military_entity_extraction_based_on_large_models_spark.operators.codegraph 
     extract_import_edges,
     repo_dependency_edges,
 )
+from military_entity_extraction_based_on_large_models_spark.operators.lm import (
+    score_docs_bigram,
+    train_bigram_lm,
+)
 from military_entity_extraction_based_on_large_models_spark.operators.winnow import (
     clone_pairs,
     winnow_fingerprints,
@@ -3221,6 +3225,65 @@ def q_code_clone_pairs(spark, sf_dir):
     return clone_pairs(fps, min_shared=2, min_score=0.2, max_df=50)
 
 
+def q_doc_lm_score(spark, sf_dir):
+    """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020): train a
+    word-bigram add-one-smoothed LM over the corpus as two hash
+    aggregates (min_count=2 prune bounds the shipped model), then score
+    every document's average bigram log-probability.  The whole model —
+    counts, vocabulary size, smoothing, the micro-unit BIGINT log-prob
+    sum — is deterministic and replayed in the DuckDB twin; the only
+    float steps are one IEEE division and one 6-dp-equivalent rounded ln
+    per bigram (the doc_bm25 device).  Self-scoring (train == score
+    corpus) is the deliberate degenerate case here; production trains on
+    a reference corpus and scores the crawl through the same plan."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    uni, bi, vocab = train_bigram_lm(docs, min_count=2)
+    return score_docs_bigram(docs, uni, bi, vocab)
+
+
+_DOC_LM_SCORE_SQL = f"""
+            WITH toks AS (
+              SELECT doc_id, {_WORD_TOKS} AS w FROM documents
+            ), uni AS (
+              SELECT t AS w, count(*) AS c1
+              FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1
+            ), vocab AS (
+              SELECT count(*) AS v FROM uni
+            ), bg AS (
+              SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                         i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS b
+                FROM toks WHERE len(w) >= 2)
+            ), big AS (
+              SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+              HAVING count(*) >= 2
+            ), unip AS (
+              SELECT w, c1 FROM uni WHERE c1 >= 2
+            ), j AS (
+              SELECT bg.doc_id,
+                     coalesce(b2.c12, 0) AS c12,
+                     coalesce(u2.c1, 0) AS c1,
+                     v.v AS v
+              FROM bg
+              LEFT JOIN big b2 USING (w1, w2)
+              LEFT JOIN unip u2 ON bg.w1 = u2.w
+              CROSS JOIN vocab v
+            ), m AS (
+              SELECT doc_id,
+                     CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+                                * 1000000) AS BIGINT) AS mm
+              FROM j
+            )
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   CAST(sum(mm) AS BIGINT) AS score_micro,
+                   CAST(sum(mm) AS DOUBLE)
+                     / CAST(count(*) * 1000000 AS DOUBLE) AS avg_logp
+            FROM m GROUP BY doc_id
+"""
+
+
 def _winnow_fp_sql(docs_cte: str, k: int = 8, w: int = 4) -> str:
     """The winnow pipeline replayed in DuckDB over a docs(doc_id, text)
     CTE: identical normalization regex, identical md5->40-bit gram hash,
@@ -3347,6 +3410,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pmi": q_kg_pmi,
         "doc_winnow_fp": q_doc_winnow_fp,
         "code_clone_pairs": q_code_clone_pairs,
+        "doc_lm_score": q_doc_lm_score,
     }
 
 
@@ -3756,4 +3820,5 @@ def retired_oracle_sql() -> dict[str, str]:
         "doc_winnow_fp": _winnow_fp_sql("SELECT doc_id, text FROM documents")
         + _WINNOW_FP_FINAL_SQL,
         "code_clone_pairs": _CODE_CLONE_PAIRS_SQL,
+        "doc_lm_score": _DOC_LM_SCORE_SQL,
     }
