@@ -48,6 +48,10 @@ from military_entity_extraction_based_on_large_models_spark.operators.codegraph 
     extract_import_edges,
     repo_dependency_edges,
 )
+from military_entity_extraction_based_on_large_models_spark.operators.kcore import (
+    k_core,
+    trim_to_cycle_core,
+)
 from military_entity_extraction_based_on_large_models_spark.operators.lm import (
     score_docs_bigram,
     train_bigram_lm,
@@ -3225,6 +3229,112 @@ def q_code_clone_pairs(spark, sf_dir):
     return clone_pairs(fps, min_shared=2, min_score=0.2, max_df=50)
 
 
+def q_kg_kcore(spark, sf_dir):
+    """3-core of the undirected entity co-occurrence graph (Seidman's
+    density screen — operators/kcore.k_core): iteratively peel nodes with
+    fewer than 3 in-core co-occurrence partners until the fixpoint.  The
+    Spark loop early-exits on a multiset digest; the oracle unrolls
+    _KCORE_ROUNDS peel rounds as chained CTEs — the fixpoint is unique
+    (peeling is confluent), so the two agree iff the fixture converges
+    within the pinned bound, which the hash gate itself certifies."""
+    t = _kg_base(spark, sf_dir)
+    e = (
+        t.where(F.col("pred") == "co_occurs_with")
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .distinct()
+    )
+    return k_core(e, k=3, src="a", dst="b")
+
+
+_KCORE_ROUNDS = 6
+
+
+def _kg_kcore_sql(k: int = 3, rounds: int = _KCORE_ROUNDS) -> str:
+    head = f"""
+            WITH m AS (
+              SELECT DISTINCT d.doc_id, g.canonical
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+              WHERE g.label <> 'location'
+            ), p AS (
+              SELECT DISTINCT a.canonical AS a, b.canonical AS b
+              FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+            ), e0 AS (
+              SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p
+            )"""
+    mid = "".join(
+        f"""
+            , a{i} AS (
+              SELECT a FROM e{i - 1} GROUP BY a HAVING count(*) >= {k}
+            ), e{i} AS (
+              SELECT e.a, e.b FROM e{i - 1} e
+              JOIN a{i} x ON e.a = x.a JOIN a{i} y ON e.b = y.a
+            )"""
+        for i in range(1, rounds + 1)
+    )
+    return head + mid + f"""
+            SELECT a AS node, count(*) AS degree FROM e{rounds} GROUP BY a
+    """
+
+
+_CYCLE_LEAF_EDGES = [
+    ("leaf_a", "leaf_b"),
+    ("leaf_b", "leaf_c"),
+    ("leaf_c", "src0"),
+    ("src1", "leaf_sink"),
+]
+
+
+def q_code_cycle_repos(spark, sf_dir):
+    """Dependency-cycle screen over the code KG (operators/kcore
+    .trim_to_cycle_core): iteratively delete repos with no dependents or
+    no dependencies; the surviving subgraph contains every import cycle
+    (plus, honestly documented, any repo BETWEEN two cycles).  A planted
+    acyclic chain (leaf_a -> leaf_b -> leaf_c -> src0) and a planted sink
+    (src1 -> leaf_sink) prove the trim actually fires: three cascade
+    rounds remove the chain, one removes the sink."""
+    docs, owners = _codegraph_docs_owners(spark, sf_dir)
+    dep = repo_dependency_edges(extract_import_edges(docs), owners).select(
+        "src_repo", "dst_repo"
+    )
+    leaves = spark.createDataFrame(
+        _CYCLE_LEAF_EDGES, "src_repo string, dst_repo string"
+    )
+    return trim_to_cycle_core(
+        dep.unionByName(leaves), src="src_repo", dst="dst_repo"
+    )
+
+
+_TRIM_ROUNDS = 5
+
+
+def _code_cycle_repos_sql(rounds: int = _TRIM_ROUNDS) -> str:
+    leaf_values = ", ".join(f"('{s}', '{d}')" for s, d in _CYCLE_LEAF_EDGES)
+    head = f"""
+            , dep AS (
+              SELECT DISTINCT n.source AS s, o.repo AS d
+              FROM norm n JOIN owners o ON n.module = o.module
+              WHERE n.source <> o.repo
+            ), e0 AS (
+              SELECT s, d FROM dep
+              UNION
+              SELECT * FROM (VALUES {leaf_values}) t(s, d)
+            )"""
+    mid = "".join(
+        f"""
+            , n{i} AS (
+              SELECT s AS n FROM e{i - 1} INTERSECT SELECT d AS n FROM e{i - 1}
+            ), e{i} AS (
+              SELECT e.s, e.d FROM e{i - 1} e
+              JOIN n{i} x ON e.s = x.n JOIN n{i} y ON e.d = y.n
+            )"""
+        for i in range(1, rounds + 1)
+    )
+    return head + mid + f"""
+            SELECT s AS src_repo, d AS dst_repo FROM e{rounds}
+    """
+
+
 def q_doc_lm_score(spark, sf_dir):
     """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020): train a
     word-bigram add-one-smoothed LM over the corpus as two hash
@@ -3411,6 +3521,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fp": q_doc_winnow_fp,
         "code_clone_pairs": q_code_clone_pairs,
         "doc_lm_score": q_doc_lm_score,
+        "kg_kcore": q_kg_kcore,
+        "code_cycle_repos": q_code_cycle_repos,
     }
 
 
@@ -3821,4 +3933,6 @@ def retired_oracle_sql() -> dict[str, str]:
         + _WINNOW_FP_FINAL_SQL,
         "code_clone_pairs": _CODE_CLONE_PAIRS_SQL,
         "doc_lm_score": _DOC_LM_SCORE_SQL,
+        "kg_kcore": _kg_kcore_sql(),
+        "code_cycle_repos": _CODEGRAPH_SQL_PREFIX + _code_cycle_repos_sql(),
     }
