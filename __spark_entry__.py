@@ -56,6 +56,10 @@ from military_entity_extraction_based_on_large_models_spark.operators.lm import 
     score_docs_bigram,
     train_bigram_lm,
 )
+from military_entity_extraction_based_on_large_models_spark.operators.stats import (
+    cms_estimate,
+    cms_sketch,
+)
 from military_entity_extraction_based_on_large_models_spark.operators.winnow import (
     clone_pairs,
     winnow_fingerprints,
@@ -3229,6 +3233,53 @@ def q_code_clone_pairs(spark, sf_dir):
     return clone_pairs(fps, min_shared=2, min_score=0.2, max_df=50)
 
 
+def q_events_user_cms(spark, sf_dir):
+    """Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005,
+    operators/stats.cms_sketch): build the 4×512 counter sketch over the
+    event stream in ONE scan + one algebraic aggregate, then estimate the
+    exact top-20 users' frequencies from the broadcast sketch.  Both the
+    sketch and the estimates are bit-reproducible cross-engine (salted
+    md5 bucket hashing); each row carries the exact count as witness —
+    the CMS never-undercount guarantee (est >= exact) is pytest-pinned."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    sk = cms_sketch(ev, "user_id")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.col("exact").desc(), F.col("user_id"))
+        .limit(20)
+    )
+    return cms_estimate(top, sk, "user_id")
+
+
+_EVENTS_USER_CMS_SQL = """
+            WITH src AS (
+              SELECT user_id FROM events WHERE user_id IS NOT NULL
+            ), buck AS (
+              SELECT t.j,
+                     CAST(CAST('0x' || substring(md5('cms' || CAST(t.j AS VARCHAR)
+                              || ':' || CAST(user_id AS VARCHAR)), 4, 13) AS BIGINT)
+                          % 512 AS INT) AS bucket
+              FROM src CROSS JOIN range(4) t(j)
+            ), sk AS (
+              SELECT j, bucket, count(*) AS c FROM buck GROUP BY 1, 2
+            ), top AS (
+              SELECT user_id, count(*) AS exact FROM src GROUP BY 1
+              ORDER BY exact DESC, user_id LIMIT 20
+            ), cand AS (
+              SELECT e.user_id, e.exact, t.j,
+                     CAST(CAST('0x' || substring(md5('cms' || CAST(t.j AS VARCHAR)
+                              || ':' || CAST(e.user_id AS VARCHAR)), 4, 13) AS BIGINT)
+                          % 512 AS INT) AS bucket
+              FROM top e CROSS JOIN range(4) t(j)
+            )
+            SELECT cand.user_id, cand.exact,
+                   min(coalesce(sk.c, 0)) AS est
+            FROM cand LEFT JOIN sk USING (j, bucket)
+            GROUP BY 1, 2
+"""
+
+
 def q_kg_kcore(spark, sf_dir):
     """3-core of the undirected entity co-occurrence graph (Seidman's
     density screen — operators/kcore.k_core): iteratively peel nodes with
@@ -3523,6 +3574,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": q_doc_lm_score,
         "kg_kcore": q_kg_kcore,
         "code_cycle_repos": q_code_cycle_repos,
+        "events_user_cms": q_events_user_cms,
     }
 
 
@@ -3935,4 +3987,5 @@ def retired_oracle_sql() -> dict[str, str]:
         "doc_lm_score": _DOC_LM_SCORE_SQL,
         "kg_kcore": _kg_kcore_sql(),
         "code_cycle_repos": _CODEGRAPH_SQL_PREFIX + _code_cycle_repos_sql(),
+        "events_user_cms": _EVENTS_USER_CMS_SQL,
     }

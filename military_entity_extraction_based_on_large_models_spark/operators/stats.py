@@ -190,3 +190,78 @@ def hll_ndv_sql(
                      END, 2) AS {est_col}
         FROM pk
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): fixed-size frequency
+# estimation.  The third standard corpus sketch beside quantile histograms
+# and HLL: estimate per-item counts from depth × width BIGINT counters —
+# state is O(d·w) REGARDLESS of input size, mergeable by addition, so at
+# 100 TB the sketch build is one map-side-combined aggregate producing at
+# most d·w rows, and estimation broadcasts the finished sketch.  Estimates
+# NEVER undercount (each counter is a superset sum); overcounts are bounded
+# by 2n/w per row with prob. 1 − 2^−d.  Hashing is the md5 device with a
+# per-row salt, so sketch AND estimates are bit-reproducible in DuckDB.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_bucket(value: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Row ``row``'s bucket for one value: md5('cms{row}:' || v) 52-bit
+    integer mod width — independent-enough hash rows via the salt."""
+    h = F.md5(F.concat(F.lit(f"cms{row}:"), value.cast("string")))
+    return (F.conv(F.substring(h, 4, 13), 16, 10).cast("long") % width).cast(
+        "int"
+    )
+
+
+def _cms_pairs(value: Column, depth: int, width: int) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"), cms_bucket(value, j, width).alias("bucket")
+            )
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """→ (row, bucket, c) counters, ≤ depth·width rows.  ONE scan (the
+    per-row explode builds all depth pairs inside the row), one algebraic
+    aggregate.  NULLs are ignored."""
+    return (
+        df.where(F.col(value).isNotNull())
+        .select(F.explode(_cms_pairs(F.col(value), depth, width)).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    value: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    est_col: str = "est",
+) -> DataFrame:
+    """Append ``est_col`` = min over rows of the value's counters (0 for a
+    never-seen bucket).  The sketch is broadcast — it is at most
+    depth·width rows by construction, the whole point of the structure."""
+    keyed = candidates.select(
+        "*", F.explode(_cms_pairs(F.col(value), depth, width)).alias("p")
+    ).select("*", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    joined = keyed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    others = [c for c in candidates.columns]
+    return (
+        joined.groupBy(*others)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias(est_col))
+    )

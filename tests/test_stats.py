@@ -80,3 +80,107 @@ def test_hll_matches_duckdb_exactly(spark):
     con.register("t", pd.DataFrame(rows, columns=["grp", "v"]))
     want = sorted(con.execute(hll_ndv_sql("t", ["grp"], "v")).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def _py_cms(values, depth=4, width=512):
+    import hashlib
+    from collections import Counter
+
+    counters = Counter()
+    for v in values:
+        for j in range(depth):
+            h = hashlib.md5(f"cms{j}:{v}".encode()).hexdigest()
+            counters[(j, int(h[3:16], 16) % width)] += 1
+    return counters
+
+
+def _py_cms_est(counters, v, depth=4, width=512):
+    import hashlib
+
+    return min(
+        counters.get(
+            (j, int(hashlib.md5(f"cms{j}:{v}".encode()).hexdigest()[3:16], 16) % width),
+            0,
+        )
+        for j in range(depth)
+    )
+
+
+def _cms_fixture(spark):
+    # skewed multiset: item i appears (i % 37) + 1 times
+    rows = [(f"u{i:03d}",) for i in range(300) for _ in range((i % 37) + 1)]
+    return rows, spark.createDataFrame(rows, "user_id string")
+
+
+def test_cms_matches_python_replica(spark):
+    from military_entity_extraction_based_on_large_models_spark.operators.stats import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rows, df = _cms_fixture(spark)
+    sk = cms_sketch(df, "user_id")
+    got_counters = {(r.row, r.bucket): r.c for r in sk.collect()}
+    exp_counters = _py_cms([v for v, in rows])
+    assert got_counters == dict(exp_counters)
+
+    cands = df.select("user_id").distinct()
+    est = {r.user_id: r.est for r in cms_estimate(cands, sk, "user_id").collect()}
+    for v in {v for v, in rows}:
+        assert est[v] == _py_cms_est(exp_counters, v)
+
+
+def test_cms_never_undercounts(spark):
+    from collections import Counter
+
+    from military_entity_extraction_based_on_large_models_spark.operators.stats import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rows, df = _cms_fixture(spark)
+    exact = Counter(v for v, in rows)
+    sk = cms_sketch(df, "user_id")
+    est = {
+        r.user_id: r.est
+        for r in cms_estimate(df.select("user_id").distinct(), sk, "user_id").collect()
+    }
+    assert all(est[v] >= c for v, c in exact.items())
+
+
+def test_cms_sketch_is_bounded_and_mergeable(spark):
+    from military_entity_extraction_based_on_large_models_spark.operators.stats import (
+        cms_sketch,
+    )
+
+    rows, df = _cms_fixture(spark)
+    half = len(rows) // 2
+    a = spark.createDataFrame(rows[:half], "user_id string")
+    b = spark.createDataFrame(rows[half:], "user_id string")
+    whole = {(r.row, r.bucket): r.c for r in cms_sketch(df, "user_id").collect()}
+    assert len(whole) <= 4 * 512
+    merged = {}
+    for part in (a, b):
+        for r in cms_sketch(part, "user_id").collect():
+            merged[(r.row, r.bucket)] = merged.get((r.row, r.bucket), 0) + r.c
+    assert merged == whole
+
+
+def test_cms_estimate_plan_broadcasts_the_sketch(spark):
+    from military_entity_extraction_based_on_large_models_spark.operators.stats import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    _, df = _cms_fixture(spark)
+    plan = (
+        cms_estimate(df.select("user_id").distinct(), cms_sketch(df, "user_id"), "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
