@@ -169,6 +169,7 @@ def clone_pairs(
     min_shared: int = 2,
     min_score: float = 0.0,
     max_df: int | None = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, shared, n_a, n_b, score) — clone candidate pairs.
 
@@ -184,8 +185,18 @@ def clone_pairs(
     Plan: distinct fp postings (one aggregate), per-doc counts reused
     from the same shuffle, then ONE equi self-join on fp + one pair
     aggregate.  Never all-pairs.
+
+    The postings frame feeds FOUR consumers (doc counts, df counts, both
+    self-join sides), so by default it is pinned with a lazy
+    ``localCheckpoint`` — without it the upstream fingerprint extraction
+    (an md5 per character position) re-runs once per consumer, a ~6×
+    waste that dominates at corpus scale (the operators/assoc.py
+    rationale).  ``materialize=False`` keeps the plan fully lazy for
+    callers that persisted their fingerprints already.
     """
     postings = fps.select(F.col(id_col).alias("id"), "fp").distinct()
+    if materialize:
+        postings = postings.localCheckpoint(eager=False)
     doc_n = postings.groupBy("id").agg(F.count("*").alias("n"))
     dfc = postings.groupBy("fp").agg(F.count("*").alias("df"))
     dfc = dfc.where(F.col("df") >= 2)
