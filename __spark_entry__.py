@@ -44,7 +44,10 @@ from military_entity_extraction_based_on_large_models_spark.operators.canonicali
     canonical_clusters,
 )
 from military_entity_extraction_based_on_large_models_spark.operators.codegraph import (
+    cross_repo_call_edges,
     dedup_normalized_code,
+    extract_call_sites,
+    extract_function_defs,
     extract_import_edges,
     repo_dependency_edges,
 )
@@ -3237,6 +3240,148 @@ def q_code_clone_pairs(spark, sf_dir):
     return clone_pairs(fps, min_shared=2, min_score=0.2, max_df=50)
 
 
+def _defs_corpus(spark, sf_dir):
+    """Synthesized py/c/js corpus with function DEFINITIONS and cross-repo
+    CALLS (pure doc_id/source arithmetic — the codegraph fixture
+    convention, formula replicated verbatim in SQL).  Each file defines
+    fn_<ownrepo>_<k> and calls fn_src<t>_<k> for a pseudo-random target
+    repo t; commented shadow defs pin the def-pattern anchors, and an
+    UNDEFINED commented call (c's fn_shadow_b) pins resolution
+    filtering."""
+    raw = _t(spark, sf_dir, "documents")
+    k = F.expr("cast(doc_id % 2 as string)")
+    t = F.expr("cast((doc_id * 7 + 3) % 20 as string)")
+    own = F.concat(F.lit("fn_"), F.col("source"), F.lit("_"), k)
+    tgt = F.concat(F.lit("fn_src"), t, F.lit("_"), k)
+    content = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("def "), own, F.lit("(x):\n    return "), tgt,
+                F.lit("(x)\n# def fn_shadow_a(x):\nclass C_"), k, F.lit(": pass"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("int "), own, F.lit("(int x) {\n  return "), tgt,
+                F.lit("(x);\n}\n// int fn_shadow_b(int y) {"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("function "), own, F.lit("(x) { return "), tgt,
+                F.lit("(x); }\nconst arrow_"), k,
+                F.lit(" = (x) => x\n// function fn_shadow_c() {"),
+            )
+        )
+    )
+    lang = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("py"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("c"))
+        .otherwise(F.lit("js"))
+    )
+    return raw.select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+_DEFS_CORPUS_SQL = r"""
+            WITH docs AS (
+              SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 'py' WHEN 1 THEN 'c' ELSE 'js' END AS lang,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN
+                    'def fn_' || source || '_' || CAST(doc_id % 2 AS VARCHAR)
+                    || '(x):' || chr(10) || '    return fn_src'
+                    || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || '_'
+                    || CAST(doc_id % 2 AS VARCHAR) || '(x)' || chr(10)
+                    || '# def fn_shadow_a(x):' || chr(10)
+                    || 'class C_' || CAST(doc_id % 2 AS VARCHAR) || ': pass'
+                  WHEN 1 THEN
+                    'int fn_' || source || '_' || CAST(doc_id % 2 AS VARCHAR)
+                    || '(int x) {' || chr(10) || '  return fn_src'
+                    || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || '_'
+                    || CAST(doc_id % 2 AS VARCHAR) || '(x);' || chr(10) || '}'
+                    || chr(10) || '// int fn_shadow_b(int y) {'
+                  ELSE
+                    'function fn_' || source || '_' || CAST(doc_id % 2 AS VARCHAR)
+                    || '(x) { return fn_src'
+                    || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || '_'
+                    || CAST(doc_id % 2 AS VARCHAR) || '(x); }' || chr(10)
+                    || 'const arrow_' || CAST(doc_id % 2 AS VARCHAR)
+                    || ' = (x) => x' || chr(10)
+                    || '// function fn_shadow_c() {'
+                END AS content
+              FROM documents
+            ), defpats AS (
+              SELECT * FROM (VALUES
+                ('py', '(?m)^[ \t]*def[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\('),
+                ('py', '(?m)^[ \t]*class[ \t]+([A-Za-z_][A-Za-z0-9_]*)'),
+                ('c',  '(?m)^[A-Za-z_][A-Za-z0-9_]*[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\('),
+                ('js', '(?m)^[ \t]*function[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)'),
+                ('js', '(?m)^[ \t]*const[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)[ \t]*=[ \t]*\(')
+              ) t(lang, pat)
+            ), defs AS (
+              SELECT d.repo, d.path, d.lang, unnest(regexp_extract_all(d.content, p.pat, 1)) AS func
+              FROM docs d JOIN defpats p ON d.lang = p.lang
+            )"""
+
+
+def q_code_defines(spark, sf_dir):
+    """Function/class definition extraction over the synthesized code
+    corpus (operators/codegraph.extract_function_defs): per-language
+    anchored regexes, commented shadow definitions must NOT match — the
+    anchors themselves are under the cross-engine hash gate."""
+    return extract_function_defs(_defs_corpus(spark, sf_dir))
+
+
+_CODE_DEFINES_SQL = (
+    _DEFS_CORPUS_SQL
+    + """
+            SELECT repo, path, lang, func FROM defs
+"""
+)
+
+
+def q_code_call_edges(spark, sf_dir):
+    """Cross-repo call-edge KG (operators/codegraph.cross_repo_call_edges):
+    lexical call-site superset (every identifier followed by '(' —
+    including definition lines and commented calls) resolved against the
+    broadcast distinct (func, repo) definition table; own-repo
+    resolutions drop via the cross-repo filter and undefined names (the
+    planted fn_shadow_b comment call) drop via the inner join.  Output:
+    (src_repo, dst_repo, func, n_calls)."""
+    docs = _defs_corpus(spark, sf_dir)
+    return cross_repo_call_edges(
+        extract_call_sites(docs), extract_function_defs(docs)
+    )
+
+
+_CODE_CALL_EDGES_SQL = (
+    _DEFS_CORPUS_SQL
+    + r"""
+            , calls AS (
+              SELECT d.repo, d.path,
+                     unnest(regexp_extract_all(d.content,
+                       '([A-Za-z_][A-Za-z0-9_]*)[ \t]*\(', 1)) AS func
+              FROM docs d
+            ), dim AS (
+              SELECT DISTINCT func, repo AS dst_repo FROM defs
+            )
+            SELECT c.repo AS src_repo, dim.dst_repo, c.func,
+                   count(*) AS n_calls
+            FROM calls c JOIN dim ON c.func = dim.func
+            WHERE c.repo <> dim.dst_repo
+            GROUP BY 1, 2, 3
+"""
+)
+
+
 def q_code_licenses(spark, sf_dir):
     """The Stack-style license census (operators/codehygiene): SPDX tag
     wins, else priority-ordered prose markers, else 'unknown' — one
@@ -3715,6 +3860,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_cms": q_events_user_cms,
         "code_licenses": q_code_licenses,
         "code_secrets": q_code_secrets,
+        "code_defines": q_code_defines,
+        "code_call_edges": q_code_call_edges,
     }
 
 
@@ -4130,4 +4277,6 @@ def retired_oracle_sql() -> dict[str, str]:
         "events_user_cms": _EVENTS_USER_CMS_SQL,
         "code_licenses": _CODE_LICENSES_SQL,
         "code_secrets": _CODE_SECRETS_SQL,
+        "code_defines": _CODE_DEFINES_SQL,
+        "code_call_edges": _CODE_CALL_EDGES_SQL,
     }

@@ -284,3 +284,122 @@ def repo_dependency_edges(
             F.countDistinct("module").alias("n_modules"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Function-definition + call-site extraction → cross-repo call edges.
+# The second relation family of the code KG beside imports: "repo A calls
+# function f defined in repo B".  Same lexical-extraction contract as the
+# import patterns (anchored shared-dialect regexes, commented lines
+# excluded by the line anchors, NOT a parser), same scale shape (pure
+# codegen projection + explode; the def table is the bounded dimension
+# side of one broadcast join).
+# ---------------------------------------------------------------------------
+
+# capture group 1 = the defined name.  Anchors exclude commented lines.
+LANG_DEF_PATTERNS: dict[str, list[str]] = {
+    "py": [
+        r"(?m)^[ \t]*def[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\(",
+        r"(?m)^[ \t]*class[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+    ],
+    "c": [
+        # 'type name(' at column 0 — lexical: a 'return f(x);' at column 0
+        # would also match; the call-edge join's cross-repo filter absorbs
+        # such artifacts (see cross_repo_call_edges)
+        r"(?m)^[A-Za-z_][A-Za-z0-9_]*[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\(",
+    ],
+    "js": [
+        r"(?m)^[ \t]*function[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)",
+        r"(?m)^[ \t]*const[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)[ \t]*=[ \t]*\(",
+    ],
+}
+
+# every identifier immediately followed by '(' — the call-site superset
+# (definitions themselves match too; resolution + the cross-repo filter
+# drop them, since a def resolves to its OWN repo)
+CALL_PATTERN = r"([A-Za-z_][A-Za-z0-9_]*)[ \t]*\("
+
+
+def extract_function_defs(
+    docs: DataFrame,
+    content_col: str = "content",
+    lang_col: str = "lang",
+    repo_col: str = "repo",
+    path_col: str = "path",
+    patterns: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """(repo, path, lang, func) — one row per definition OCCURRENCE.
+
+    Shuffle-free: per-lang CASE over ``regexp_extract_all`` + one
+    explode, exactly the import-extraction plan.
+    """
+    pats = LANG_DEF_PATTERNS if patterns is None else patterns
+    matches = None
+    for lang, plist in pats.items():
+        arr = F.concat(
+            *[
+                F.regexp_extract_all(F.col(content_col), F.lit(p), 1)
+                for p in plist
+            ]
+        )
+        branch = (F.col(lang_col) == lang, arr)
+        matches = F.when(*branch) if matches is None else matches.when(*branch)
+    matches = matches.otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        F.col(lang_col).alias("lang"),
+        F.explode(matches).alias("func"),
+    )
+
+
+def extract_call_sites(
+    docs: DataFrame,
+    content_col: str = "content",
+    repo_col: str = "repo",
+    path_col: str = "path",
+) -> DataFrame:
+    """(repo, path, func) — one row per ``identifier(`` occurrence.
+
+    Language-independent lexical superset; join against a definition
+    table to resolve (``cross_repo_call_edges``).
+    """
+    return docs.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        F.explode(
+            F.regexp_extract_all(F.col(content_col), F.lit(CALL_PATTERN), 1)
+        ).alias("func"),
+    )
+
+
+def cross_repo_call_edges(
+    calls: DataFrame,
+    defs: DataFrame,
+    broadcast_defs: bool = True,
+) -> DataFrame:
+    """(src_repo, dst_repo, func, n_calls) — call-site occurrences resolved
+    against the distinct (func, repo) definition table, keeping only
+    CROSS-repo edges.
+
+    The cross-repo filter is also what absorbs the lexical artifacts of
+    the extraction layer: a definition line matches CALL_PATTERN but
+    resolves to its own repo and drops here.  A function defined in
+    several repos resolves to every defining repo (candidate semantics —
+    one edge per plausible owner), same contract as module ownership.
+    The def dimension is distinct-collapsed and broadcast by default;
+    pass ``broadcast_defs=False`` when the definition universe is not
+    bounded (AQE plans the shuffle join).
+    """
+    dim = defs.select(
+        F.col("func").alias("_def_func"), F.col("repo").alias("dst_repo")
+    ).distinct()
+    if broadcast_defs:
+        dim = F.broadcast(dim)
+    resolved = calls.join(
+        dim, calls["func"] == dim["_def_func"], "inner"
+    ).where(F.col("repo") != F.col("dst_repo"))
+    return (
+        resolved.groupBy(F.col("repo").alias("src_repo"), "dst_repo", "func")
+        .agg(F.count(F.lit(1)).alias("n_calls"))
+    )
