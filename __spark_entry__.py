@@ -3113,6 +3113,45 @@ def q_events_sessions(spark, sf_dir):
     return session_stats(ev, gap_seconds=21600)
 
 
+def q_events_scd2(spark, sf_dir):
+    """SCD2 history materialization of a change log (operators/cdc):
+    events re-read as per-user changes — (user_id, ts, event_id) ordered,
+    (event_type, value) payload, 'error' events treated as deletes (they
+    close the prior interval and emit no row).  ONE shuffle: a single
+    per-key window's lead() supplies every valid_to.  The independent
+    algebraic latest_snapshot route is equality-gated against
+    filter(is_current) in test_cdc."""
+    from military_entity_extraction_based_on_large_models_spark.operators.cdc import (
+        scd2_history,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        seq_col="event_id",
+        payload_cols=["event_type", "value"],
+        op_col="event_type",
+        delete_op="error",
+    )
+
+
+_EVENTS_SCD2_SQL = """
+            WITH h AS (
+              SELECT user_id, event_type, value, ts AS valid_from,
+                     lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS valid_to
+              FROM events
+            )
+            SELECT user_id, event_type, value, valid_from, valid_to,
+                   (valid_to IS NULL) AS is_current
+            FROM h
+            WHERE event_type <> 'error'
+"""
+
+
 def q_doc_boilerplate(spark, sf_dir):
     """C4/RefinedWeb-style corpus boilerplate removal
     (operators/boilerplate): drop any non-overlapping 3-word window seen in
@@ -3380,6 +3419,200 @@ _CODE_CALL_EDGES_SQL = (
             GROUP BY 1, 2, 3
 """
 )
+
+
+def q_code_inherits(spark, sf_dir):
+    """Cross-repo class-inheritance edges
+    (operators/codegraph.extract_class_inherits +
+    cross_repo_inherit_edges): the type-dependency relation family of the
+    code KG.  Fixture: py docs subclass Ext_src<t>_<k> (defined in repo
+    src<t>), js docs extend the same name via `extends`; c docs carry no
+    inheritance syntax (lang gating); commented shadow classes pin the
+    anchors, and each doc also defines its own Ext_<repo>_<k> so
+    resolution has real owners.  Both capture groups come from ONE
+    pattern so the (child, parent) arrays align positionally in both
+    engines."""
+    raw = _t(spark, sf_dir, "documents")
+    k = F.expr("cast(doc_id % 2 as string)")
+    t = F.expr("cast((doc_id * 7 + 3) % 20 as string)")
+    own = F.concat(F.lit("Own_"), F.col("source"), F.lit("_"), k)
+    ext = F.concat(F.lit("Ext_"), F.col("source"), F.lit("_"), k)
+    tgt = F.concat(F.lit("Ext_src"), t, F.lit("_"), k)
+    content = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("class "), own, F.lit("("), tgt,
+                F.lit("):\n    pass\nclass "), ext,
+                F.lit(": pass\n# class Shadow_py(Nope):"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("int f_"), k,
+                F.lit("(int x) {\n  return x;\n}\n/* class NotJs extends X */"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("class "), own, F.lit(" extends "), tgt,
+                F.lit(" {}\nclass "), ext,
+                F.lit(" {}\n// class Shadow_js extends Nope {"),
+            )
+        )
+    )
+    lang = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("py"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("c"))
+        .otherwise(F.lit("js"))
+    )
+    docs = raw.select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+    from military_entity_extraction_based_on_large_models_spark.operators.codegraph import (
+        LANG_CLASS_DEF_PATTERNS,
+        cross_repo_inherit_edges,
+        extract_class_inherits,
+    )
+
+    class_defs = extract_function_defs(docs, patterns=LANG_CLASS_DEF_PATTERNS)
+    return cross_repo_inherit_edges(extract_class_inherits(docs), class_defs)
+
+
+_CODE_INHERITS_SQL = r"""
+            WITH docs AS (
+              SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 'py' WHEN 1 THEN 'c' ELSE 'js' END AS lang,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN
+                    'class Own_' || source || '_'
+                    || CAST(doc_id % 2 AS VARCHAR)
+                    || '(Ext_src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+                    || '_' || CAST(doc_id % 2 AS VARCHAR) || '):' || chr(10)
+                    || '    pass' || chr(10)
+                    || 'class Ext_' || source || '_'
+                    || CAST(doc_id % 2 AS VARCHAR) || ': pass' || chr(10)
+                    || '# class Shadow_py(Nope):'
+                  WHEN 1 THEN
+                    'int f_' || CAST(doc_id % 2 AS VARCHAR)
+                    || '(int x) {' || chr(10) || '  return x;' || chr(10)
+                    || '}' || chr(10) || '/* class NotJs extends X */'
+                  ELSE
+                    'class Own_' || source || '_'
+                    || CAST(doc_id % 2 AS VARCHAR)
+                    || ' extends Ext_src'
+                    || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || '_'
+                    || CAST(doc_id % 2 AS VARCHAR) || ' {}' || chr(10)
+                    || 'class Ext_' || source || '_'
+                    || CAST(doc_id % 2 AS VARCHAR) || ' {}' || chr(10)
+                    || '// class Shadow_js extends Nope {'
+                END AS content
+              FROM documents
+            ), inhpats AS (
+              SELECT * FROM (VALUES
+                ('py', '(?m)^[ \t]*class[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\(([A-Za-z_][A-Za-z0-9_.]*)'),
+                ('js', '(?m)^[ \t]*class[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)[ \t]+extends[ \t]+([A-Za-z_$][A-Za-z0-9_$.]*)')
+              ) t(lang, pat)
+            ), clspats AS (
+              SELECT * FROM (VALUES
+                ('py', '(?m)^[ \t]*class[ \t]+([A-Za-z_][A-Za-z0-9_]*)'),
+                ('js', '(?m)^[ \t]*class[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)')
+              ) t(lang, pat)
+            ), inh AS (
+              SELECT d.repo, d.path,
+                unnest(regexp_extract_all(d.content, p.pat, 1)) AS child,
+                unnest(regexp_extract_all(d.content, p.pat, 2)) AS parent
+              FROM docs d JOIN inhpats p ON d.lang = p.lang
+            ), dim AS (
+              SELECT DISTINCT
+                unnest(regexp_extract_all(d.content, p.pat, 1)) AS cls,
+                d.repo AS dst_repo
+              FROM docs d JOIN clspats p ON d.lang = p.lang
+            )
+            SELECT i.repo AS src_repo, dim.dst_repo, i.child, i.parent,
+                   count(*) AS n_inherits
+            FROM inh i JOIN dim ON i.parent = dim.cls
+            WHERE i.repo <> dim.dst_repo
+            GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_code_quality(spark, sf_dir):
+    """The Stack/StarCoder file-level quality screen
+    (operators/codehygiene.file_quality_stats): line-shape and
+    alphanumeric-fraction stats + keep/drop per file, integer micro-unit
+    ratios, shuffle-free codegen.  Fixture plants both violation kinds —
+    doc_id%7 appends a 1200-char line (max-line violation), doc_id%11
+    replaces the text with an all-symbol blob (alnum-fraction AND
+    max-line violation); the rest is word-per-line text that passes, so
+    the filter provably fires in both directions."""
+    from military_entity_extraction_based_on_large_models_spark.operators.codehygiene import (
+        file_quality_stats,
+    )
+
+    raw = _t(spark, sf_dir, "documents")
+    base = F.when(
+        F.col("doc_id") % 11 == 0, F.repeat(F.lit("@#$% "), 400)
+    ).otherwise(F.regexp_replace(F.col("text"), " ", "\n"))
+    content = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(base, F.lit("\n"), F.repeat(F.lit("x"), 1200)),
+    ).otherwise(base)
+    docs = raw.select("doc_id", content.alias("content"))
+    return file_quality_stats(docs).select(
+        "doc_id", "n_lines", "max_line_len", "avg_line_len_micro",
+        "alnum_frac_micro", "keep",
+    )
+
+
+_CODE_QUALITY_SQL = r"""
+            WITH base AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 11 = 0 THEN repeat('@#$% ', 400)
+                     ELSE replace(text, ' ', chr(10)) END AS b
+              FROM documents
+            ), docs AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN b || chr(10) || repeat('x', 1200)
+                     ELSE b END AS content
+              FROM base
+            ), s AS (
+              SELECT doc_id,
+                CAST(len(string_split(content, chr(10))) AS BIGINT)
+                  AS n_lines,
+                CAST(list_max(list_transform(
+                  string_split(content, chr(10)), x -> length(x)))
+                  AS BIGINT) AS max_line_len,
+                CAST(length(content)
+                  - (len(string_split(content, chr(10))) - 1)
+                  AS BIGINT) AS sum_len,
+                CAST(length(content) - length(
+                  regexp_replace(content, '[A-Za-z0-9]', '', 'g'))
+                  AS BIGINT) AS alnum,
+                CAST(length(content) AS BIGINT) AS total
+              FROM docs
+            ), m AS (
+              SELECT doc_id, n_lines, max_line_len,
+                CAST((sum_len * 1000000) // n_lines AS BIGINT)
+                  AS avg_line_len_micro,
+                CAST(CASE WHEN total = 0 THEN 0
+                     ELSE (alnum * 1000000) // total END AS BIGINT)
+                  AS alnum_frac_micro
+              FROM s
+            )
+            SELECT doc_id, n_lines, max_line_len, avg_line_len_micro,
+                   alnum_frac_micro,
+                   (max_line_len <= 1000
+                    AND avg_line_len_micro <= 100000000
+                    AND alnum_frac_micro >= 250000) AS keep
+            FROM m
+"""
 
 
 def q_code_licenses(spark, sf_dir):
@@ -3862,6 +4095,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_secrets": q_code_secrets,
         "code_defines": q_code_defines,
         "code_call_edges": q_code_call_edges,
+        "events_scd2": q_events_scd2,
+        "code_quality": q_code_quality,
+        "code_inherits": q_code_inherits,
     }
 
 
@@ -4279,4 +4515,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "code_secrets": _CODE_SECRETS_SQL,
         "code_defines": _CODE_DEFINES_SQL,
         "code_call_edges": _CODE_CALL_EDGES_SQL,
+        "events_scd2": _EVENTS_SCD2_SQL,
+        "code_quality": _CODE_QUALITY_SQL,
+        "code_inherits": _CODE_INHERITS_SQL,
     }

@@ -403,3 +403,89 @@ def cross_repo_call_edges(
         resolved.groupBy(F.col("repo").alias("src_repo"), "dst_repo", "func")
         .agg(F.count(F.lit(1)).alias("n_calls"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Class-inheritance edges — the third relation family of the code KG
+# (imports = module dependency, calls = function dependency, inherits =
+# type dependency).  Same lexical contract: one anchored shared-dialect
+# regex per language with TWO capture groups (child, parent), commented
+# lines excluded by the anchors; multi-inheritance `class X(A, B)`
+# captures only A (the `import a, b` lexical-limit ruling).
+# ---------------------------------------------------------------------------
+
+LANG_INHERIT_PATTERNS: dict[str, str] = {
+    "py": r"(?m)^[ \t]*class[ \t]+([A-Za-z_][A-Za-z0-9_]*)"
+          r"[ \t]*\(([A-Za-z_][A-Za-z0-9_.]*)",
+    "js": r"(?m)^[ \t]*class[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)"
+          r"[ \t]+extends[ \t]+([A-Za-z_$][A-Za-z0-9_$.]*)",
+}
+
+# resolve parents against CLASS definitions only (feed to
+# extract_function_defs(patterns=...) — the def extractor is pattern-generic)
+LANG_CLASS_DEF_PATTERNS: dict[str, list[str]] = {
+    "py": [r"(?m)^[ \t]*class[ \t]+([A-Za-z_][A-Za-z0-9_]*)"],
+    "js": [r"(?m)^[ \t]*class[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)"],
+}
+
+
+def extract_class_inherits(
+    docs: DataFrame,
+    content_col: str = "content",
+    lang_col: str = "lang",
+    repo_col: str = "repo",
+    path_col: str = "path",
+) -> DataFrame:
+    """(repo, path, lang, child, parent) — one row per inheritance site.
+
+    Shuffle-free: both capture groups extracted from the SAME pattern, so
+    the arrays align positionally; zip_with pairs them, one explode.
+    Languages without an inheritance pattern (c) contribute nothing.
+    """
+    pairs = None
+    for lang, pat in LANG_INHERIT_PATTERNS.items():
+        zipped = F.zip_with(
+            F.regexp_extract_all(F.col(content_col), F.lit(pat), 1),
+            F.regexp_extract_all(F.col(content_col), F.lit(pat), 2),
+            lambda c, p: F.struct(c.alias("child"), p.alias("parent")),
+        )
+        branch = (F.col(lang_col) == lang, zipped)
+        pairs = F.when(*branch) if pairs is None else pairs.when(*branch)
+    pairs = pairs.otherwise(
+        F.array().cast("array<struct<child:string,parent:string>>")
+    )
+    return docs.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        F.col(lang_col).alias("lang"),
+        F.explode(pairs).alias("_e"),
+    ).select("repo", "path", "lang", "_e.child", "_e.parent")
+
+
+def cross_repo_inherit_edges(
+    inherits: DataFrame,
+    class_defs: DataFrame,
+    broadcast_defs: bool = True,
+) -> DataFrame:
+    """(src_repo, dst_repo, child, parent, n_inherits) — inheritance sites
+    whose parent class is defined in a DIFFERENT repo, resolved against
+    the broadcast distinct (func, repo) class-definition table.
+
+    Same candidate semantics as cross_repo_call_edges: a class defined in
+    several repos yields one edge per plausible owner; own-repo
+    resolutions drop.
+    """
+    dim = class_defs.select(
+        F.col("func").alias("_def_cls"), F.col("repo").alias("dst_repo")
+    ).distinct()
+    if broadcast_defs:
+        dim = F.broadcast(dim)
+    resolved = inherits.join(
+        dim, inherits["parent"] == dim["_def_cls"], "inner"
+    ).where(F.col("repo") != F.col("dst_repo"))
+    return (
+        resolved.groupBy(
+            F.col("repo").alias("src_repo"), "dst_repo", "child", "parent"
+        )
+        .agg(F.count(F.lit(1)).alias("n_inherits"))
+    )

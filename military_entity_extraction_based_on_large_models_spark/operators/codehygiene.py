@@ -165,3 +165,71 @@ def scrub_secrets(content: Column) -> Column:
     for kind, pat in SECRET_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"<SECRET:{kind}>")
     return out
+
+
+# ---------------------------------------------------------------------------
+# File-level quality screen (The Stack / StarCoder filter family): the
+# line-shape and character-class statistics every code-LLM curation run
+# computes per file before training — long-line and low-alphanumeric files
+# are overwhelmingly minified bundles, data blobs, or generated code.
+# Thresholds follow the published The Stack v1 defaults (max line 1000,
+# avg line 100, alnum fraction >= 0.25); all ratios are integer
+# micro-units (BIGINT) so the stats replay bit-exactly cross-engine —
+# the doc_bm25 determinism convention.
+# ---------------------------------------------------------------------------
+
+
+def file_quality_stats(
+    docs: DataFrame,
+    content_col: str = "content",
+    max_line_chars: int = 1000,
+    max_avg_line_chars: int = 100,
+    min_alnum_frac_micro: int = 250_000,
+) -> DataFrame:
+    """Append per-file quality stats + the keep/drop decision.
+
+    Columns added: ``n_lines``, ``max_line_len``, ``avg_line_len_micro``
+    (chars·1e6 per line, integer DIV), ``alnum_frac_micro``, ``keep``.
+
+    Shuffle-free codegen projection: one split + HOF max, one
+    regexp_replace-difference count — no UDF, no aggregate.  Line count
+    uses Java split-limit −1 semantics (trailing empty lines kept),
+    matching DuckDB's string_split.  Ratios are BIGINT micro-units via
+    integer DIV (both operands nonnegative), never a float divide.
+    """
+    c = F.col(content_col)
+    lines = F.split(c, "\n", -1)
+    n_lines = F.size(lines).cast("bigint")
+    # total chars minus the newline separators — exact, no second pass
+    sum_len = (F.length(c) - (F.size(lines) - F.lit(1))).cast("bigint")
+    max_line = F.array_max(
+        F.transform(lines, lambda x: F.length(x))
+    ).cast("bigint")
+    alnum = (
+        F.length(c) - F.length(F.regexp_replace(c, "[A-Za-z0-9]", ""))
+    ).cast("bigint")
+    staged = docs.select(
+        "*",
+        n_lines.alias("n_lines"),
+        max_line.alias("max_line_len"),
+        sum_len.alias("_sum_len"),
+        alnum.alias("_alnum"),
+        F.length(c).cast("bigint").alias("_total"),
+    )
+    avg_micro = F.expr("(_sum_len * 1000000) DIV n_lines").cast("bigint")
+    frac_micro = (
+        F.when(F.col("_total") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("(_alnum * 1000000) DIV _total").cast("bigint"))
+    )
+    keep = (
+        (F.col("max_line_len") <= F.lit(int(max_line_chars)))
+        & (F.col("avg_line_len_micro")
+           <= F.lit(int(max_avg_line_chars) * 1_000_000))
+        & (F.col("alnum_frac_micro") >= F.lit(int(min_alnum_frac_micro)))
+    )
+    return (
+        staged.withColumn("avg_line_len_micro", avg_micro)
+        .withColumn("alnum_frac_micro", frac_micro)
+        .withColumn("keep", keep)
+        .drop("_sum_len", "_alnum", "_total")
+    )

@@ -384,3 +384,86 @@ class TestCallEdges:
             )._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestInheritEdges:
+    """Class-inheritance extraction + cross-repo type-dependency edges."""
+
+    def _inh(self, spark, lang, content):
+        from military_entity_extraction_based_on_large_models_spark.operators.codegraph import (
+            extract_class_inherits,
+        )
+        df = _docs(spark, [("r", "p", lang, content)])
+        return sorted(
+            (r["child"], r["parent"])
+            for r in extract_class_inherits(df).collect()
+        )
+
+    def test_py_inherits(self, spark):
+        src = (
+            "class Sub(Base):\n    pass\n"
+            "  class Inner(pkg.Mixin):\n"
+            "class Plain: pass\n"
+            "# class Shadow(Nope):\n"
+        )
+        # Plain (no parent) yields no pair; dotted parent captured;
+        # commented class excluded by the anchor
+        assert self._inh(spark, "py", src) == [
+            ("Inner", "pkg.Mixin"), ("Sub", "Base"),
+        ]
+
+    def test_py_multi_inheritance_captures_first(self, spark):
+        assert self._inh(spark, "py", "class X(A, B):\n") == [("X", "A")]
+
+    def test_js_extends(self, spark):
+        src = (
+            "class View extends Component {}\n"
+            "class Standalone {}\n"
+            "// class Shadow extends Nope {\n"
+        )
+        assert self._inh(spark, "js", src) == [("View", "Component")]
+
+    def test_c_has_no_inheritance(self, spark):
+        assert self._inh(spark, "c", "struct x { int a; };\n") == []
+
+    def test_cross_repo_inherit_edges(self, spark):
+        from military_entity_extraction_based_on_large_models_spark.operators.codegraph import (
+            LANG_CLASS_DEF_PATTERNS,
+            cross_repo_inherit_edges,
+            extract_class_inherits,
+            extract_function_defs,
+        )
+        docs = _docs(
+            spark,
+            [
+                ("base-repo", "b.py", "py", "class Base: pass\n"),
+                # subclasses Base (cross-repo) AND its own Local (dropped)
+                (
+                    "app-repo", "a.py", "py",
+                    "class Local: pass\nclass S1(Base):\n    pass\n"
+                    "class S2(Local):\n    pass\nclass S3(Ghost):\n    pass\n",
+                ),
+            ],
+        )
+        class_defs = extract_function_defs(
+            docs, patterns=LANG_CLASS_DEF_PATTERNS
+        )
+        edges = {
+            (r["src_repo"], r["dst_repo"], r["child"], r["parent"], r["n_inherits"])
+            for r in cross_repo_inherit_edges(
+                extract_class_inherits(docs), class_defs
+            ).collect()
+        }
+        # own-repo (S2→Local) and undefined (S3→Ghost) both drop
+        assert edges == {("app-repo", "base-repo", "S1", "Base", 1)}
+
+    def test_inherit_extraction_plan_is_shuffle_free(self, spark):
+        from military_entity_extraction_based_on_large_models_spark.operators.codegraph import (
+            extract_class_inherits,
+        )
+        df = _docs(spark, [("r", "p", "py", "class A(B):\n")])
+        plan = (
+            extract_class_inherits(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan

@@ -125,3 +125,59 @@ def test_scans_are_shuffle_free_projections(spark):
     )
     plan = proj._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestFileQuality:
+    """The Stack-style line-shape + alnum-fraction screen."""
+
+    def _stats(self, spark, content, **kw):
+        from military_entity_extraction_based_on_large_models_spark.operators.codehygiene import (
+            file_quality_stats,
+        )
+        df = spark.createDataFrame([("f", content)], "path string, content string")
+        return file_quality_stats(df, **kw).collect()[0]
+
+    def test_hand_computed(self, spark):
+        # "ab1\n!!\n" → lines ['ab1','!!',''] ; sum_len 5, alnum 3, total 7
+        r = self._stats(spark, "ab1\n!!\n")
+        assert r["n_lines"] == 3
+        assert r["max_line_len"] == 3
+        assert r["avg_line_len_micro"] == (5 * 1_000_000) // 3
+        assert r["alnum_frac_micro"] == (3 * 1_000_000) // 7
+        assert bool(r["keep"]) is True
+
+    def test_empty_content(self, spark):
+        r = self._stats(spark, "")
+        # split('') → [''] : one empty line
+        assert r["n_lines"] == 1 and r["max_line_len"] == 0
+        assert r["avg_line_len_micro"] == 0 and r["alnum_frac_micro"] == 0
+        # alnum fraction 0 < 0.25 → dropped
+        assert bool(r["keep"]) is False
+
+    def test_long_line_drops(self, spark):
+        r = self._stats(spark, "ok\n" + "x" * 1001)
+        assert r["max_line_len"] == 1001 and bool(r["keep"]) is False
+        # same content passes under a raised threshold
+        r2 = self._stats(spark, "ok\n" + "x" * 1001, max_line_chars=2000,
+                         max_avg_line_chars=1000)
+        assert bool(r2["keep"]) is True
+
+    def test_avg_line_drops(self, spark):
+        r = self._stats(spark, ("y" * 200 + "\n") * 3 + "y" * 200)
+        assert r["avg_line_len_micro"] == 200 * 1_000_000
+        assert bool(r["keep"]) is False
+
+    def test_low_alnum_drops(self, spark):
+        r = self._stats(spark, "@# $%\n!! ??\n")
+        assert r["alnum_frac_micro"] == 0 and bool(r["keep"]) is False
+
+    def test_plan_is_shuffle_free(self, spark):
+        from military_entity_extraction_based_on_large_models_spark.operators.codehygiene import (
+            file_quality_stats,
+        )
+        df = spark.createDataFrame([("f", "a\nb")], "path string, content string")
+        plan = (
+            file_quality_stats(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
