@@ -3113,6 +3113,53 @@ def q_events_sessions(spark, sf_dir):
     return session_stats(ev, gap_seconds=21600)
 
 
+def q_doc_setsim_pairs(spark, sf_dir):
+    """EXACT threshold similarity join (operators/setsim.setsim_join —
+    AllPairs/PPJoin prefix filtering): every doc pair with 3-shingle
+    Jaccard ≥ 1/2, no LSH recall gamble, no all-pairs scan (prefix-token
+    equi-join is plan-gated non-Cartesian in test_setsim).  Rarest-first
+    global token order, rational threshold, all-integer verify — the
+    oracle IS the brute-force all-pairs join, so the prefix-filtering
+    theorem itself is under the cross-engine hash gate."""
+    from military_entity_extraction_based_on_large_models_spark.operators.setsim import (
+        setsim_join,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sets = d.select("doc_id", T.shingles(F.col("text"), 3).alias("toks"))
+    return setsim_join(sets, id_col="doc_id", t_num=1, t_den=2)
+
+
+_DOC_SETSIM_SQL = r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          ELSE [array_to_string(w, ' ')] END AS s
+              FROM toks
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+                     CAST(len(a.s) AS BIGINT) + CAST(len(b.s) AS BIGINT)
+                       AS sz
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, inter,
+                   CAST(sz - inter AS BIGINT) AS uni,
+                   CAST((inter * 1000000) // (sz - inter) AS BIGINT)
+                     AS jaccard_micro
+            FROM pairs
+            WHERE inter * 2 >= (sz - inter)
+"""
+
+
 def q_events_scd2(spark, sf_dir):
     """SCD2 history materialization of a change log (operators/cdc):
     events re-read as per-user changes — (user_id, ts, event_id) ordered,
@@ -4098,6 +4145,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2": q_events_scd2,
         "code_quality": q_code_quality,
         "code_inherits": q_code_inherits,
+        "doc_setsim_pairs": q_doc_setsim_pairs,
     }
 
 
@@ -4518,4 +4566,5 @@ def retired_oracle_sql() -> dict[str, str]:
         "events_scd2": _EVENTS_SCD2_SQL,
         "code_quality": _CODE_QUALITY_SQL,
         "code_inherits": _CODE_INHERITS_SQL,
+        "doc_setsim_pairs": _DOC_SETSIM_SQL,
     }
