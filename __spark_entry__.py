@@ -3337,8 +3337,12 @@ def _defs_corpus(spark, sf_dir):
     raw = _t(spark, sf_dir, "documents")
     k = F.expr("cast(doc_id % 2 as string)")
     t = F.expr("cast((doc_id * 7 + 3) % 20 as string)")
+    # the corpus is source = src(doc_id % 20), so a repo's docs share ONE
+    # parity — the target suffix must be the TARGET repo's parity (t % 2)
+    # or no call ever resolves (r5 review: the k-suffixed form was 0 rows)
+    kt = F.expr("cast(((doc_id * 7 + 3) % 20) % 2 as string)")
     own = F.concat(F.lit("fn_"), F.col("source"), F.lit("_"), k)
-    tgt = F.concat(F.lit("fn_src"), t, F.lit("_"), k)
+    tgt = F.concat(F.lit("fn_src"), t, F.lit("_"), kt)
     content = (
         F.when(
             F.col("doc_id") % 3 == 0,
@@ -3385,20 +3389,20 @@ _DEFS_CORPUS_SQL = r"""
                     'def fn_' || source || '_' || CAST(doc_id % 2 AS VARCHAR)
                     || '(x):' || chr(10) || '    return fn_src'
                     || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || '_'
-                    || CAST(doc_id % 2 AS VARCHAR) || '(x)' || chr(10)
+                    || CAST(((doc_id * 7 + 3) % 20) % 2 AS VARCHAR) || '(x)' || chr(10)
                     || '# def fn_shadow_a(x):' || chr(10)
                     || 'class C_' || CAST(doc_id % 2 AS VARCHAR) || ': pass'
                   WHEN 1 THEN
                     'int fn_' || source || '_' || CAST(doc_id % 2 AS VARCHAR)
                     || '(int x) {' || chr(10) || '  return fn_src'
                     || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || '_'
-                    || CAST(doc_id % 2 AS VARCHAR) || '(x);' || chr(10) || '}'
+                    || CAST(((doc_id * 7 + 3) % 20) % 2 AS VARCHAR) || '(x);' || chr(10) || '}'
                     || chr(10) || '// int fn_shadow_b(int y) {'
                   ELSE
                     'function fn_' || source || '_' || CAST(doc_id % 2 AS VARCHAR)
                     || '(x) { return fn_src'
                     || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || '_'
-                    || CAST(doc_id % 2 AS VARCHAR) || '(x); }' || chr(10)
+                    || CAST(((doc_id * 7 + 3) % 20) % 2 AS VARCHAR) || '(x); }' || chr(10)
                     || 'const arrow_' || CAST(doc_id % 2 AS VARCHAR)
                     || ' = (x) => x' || chr(10)
                     || '// function fn_shadow_c() {'
@@ -3484,7 +3488,11 @@ def q_code_inherits(spark, sf_dir):
     t = F.expr("cast((doc_id * 7 + 3) % 20 as string)")
     own = F.concat(F.lit("Own_"), F.col("source"), F.lit("_"), k)
     ext = F.concat(F.lit("Ext_"), F.col("source"), F.lit("_"), k)
-    tgt = F.concat(F.lit("Ext_src"), t, F.lit("_"), k)
+    # target suffix must be the TARGET repo's parity (t % 2) — the corpus
+    # is source = src(doc_id % 20), so repo src<t> only defines _<t%2>
+    # names (same ruling as _defs_corpus)
+    kt = F.expr("cast(((doc_id * 7 + 3) % 20) % 2 as string)")
+    tgt = F.concat(F.lit("Ext_src"), t, F.lit("_"), kt)
     content = (
         F.when(
             F.col("doc_id") % 3 == 0,
@@ -3540,7 +3548,8 @@ _CODE_INHERITS_SQL = r"""
                     'class Own_' || source || '_'
                     || CAST(doc_id % 2 AS VARCHAR)
                     || '(Ext_src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
-                    || '_' || CAST(doc_id % 2 AS VARCHAR) || '):' || chr(10)
+                    || '_' || CAST(((doc_id * 7 + 3) % 20) % 2 AS VARCHAR)
+                    || '):' || chr(10)
                     || '    pass' || chr(10)
                     || 'class Ext_' || source || '_'
                     || CAST(doc_id % 2 AS VARCHAR) || ': pass' || chr(10)
@@ -3554,7 +3563,7 @@ _CODE_INHERITS_SQL = r"""
                     || CAST(doc_id % 2 AS VARCHAR)
                     || ' extends Ext_src'
                     || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || '_'
-                    || CAST(doc_id % 2 AS VARCHAR) || ' {}' || chr(10)
+                    || CAST(((doc_id * 7 + 3) % 20) % 2 AS VARCHAR) || ' {}' || chr(10)
                     || 'class Ext_' || source || '_'
                     || CAST(doc_id % 2 AS VARCHAR) || ' {}' || chr(10)
                     || '// class Shadow_js extends Nope {'
