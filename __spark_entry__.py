@@ -1890,7 +1890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "semi_join_orders": q_semi_join_orders,
-        "anti_join_customers": q_anti_join_customers,
+        # r5 swap: anti_join_customers retired (0-row vacuous driver row;
+        # the anti/semi family stays driver-covered by semi_join_orders),
+        # slot given to the exact prefix-filtered similarity join
+        "doc_setsim_pairs": q_doc_setsim_pairs,
         "outer_join_order_counts": q_outer_join_order_counts,
         "window_top_customer_per_nation": q_window_top_customer_per_nation,
         "max_by_supplier": q_max_by_supplier,
@@ -2349,10 +2352,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
         """,
-        "anti_join_customers": """
-            SELECT c_custkey, c_name FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        """,
+        "doc_setsim_pairs": _DOC_SETSIM_SQL,
         "outer_join_order_counts": """
             SELECT c_custkey,
                    count(o_orderkey) AS n_orders,
@@ -4154,7 +4154,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2": q_events_scd2,
         "code_quality": q_code_quality,
         "code_inherits": q_code_inherits,
-        "doc_setsim_pairs": q_doc_setsim_pairs,
+        "anti_join_customers": q_anti_join_customers,
     }
 
 
@@ -4575,5 +4575,8 @@ def retired_oracle_sql() -> dict[str, str]:
         "events_scd2": _EVENTS_SCD2_SQL,
         "code_quality": _CODE_QUALITY_SQL,
         "code_inherits": _CODE_INHERITS_SQL,
-        "doc_setsim_pairs": _DOC_SETSIM_SQL,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
     }
