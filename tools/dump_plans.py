@@ -45,6 +45,27 @@ def shape(plan_text: str) -> list[str]:
     return out
 
 
+def _setsim_section(d):
+    from military_entity_extraction_based_on_large_models_spark.functions import text as T
+    from military_entity_extraction_based_on_large_models_spark.operators.setsim import (
+        setsim_join,
+    )
+
+    sets = d.select("doc_id", T.shingles(F.col("text"), 3).alias("toks"))
+    return setsim_join(sets, id_col="doc_id", t_num=1, t_den=2)
+
+
+def _scd2_snapshot_section(ev):
+    from military_entity_extraction_based_on_large_models_spark.operators.cdc import (
+        latest_snapshot,
+    )
+
+    return latest_snapshot(
+        ev, ["user_id"], "ts", "event_id", ["event_type", "value"],
+        op_col="event_type", delete_op="error",
+    )
+
+
 def build_sections(spark):
     """(title, claim, DataFrame) for every gated plan — shared by the
     PLANS.md generator and tests/test_plans.py's drift gate, so the file
@@ -231,6 +252,25 @@ def build_sections(spark):
             codegraph.repo_dependency_edges(
                 codegraph.extract_import_edges(_cg_docs), _cg_owners
             ),
+        ),
+        (
+            "Exact set-similarity join (prefix filtering)",
+            "Claim: candidate generation is an equi join on prefix tokens "
+            "(never CartesianProduct/BroadcastNestedLoopJoin); the verify "
+            "stage is two equi joins bringing the ordered arrays to the "
+            "DISTINCT candidate pairs.  "
+            "Gate: tests/test_setsim.py::TestPlan::test_no_cartesian + "
+            "seeded brute-force equality at 4 thresholds.",
+            _setsim_section(d),
+        ),
+        (
+            "SCD2 latest snapshot (algebraic route)",
+            "Claim: partial_max + final max HashAggregate — no Window (the "
+            "snapshot is the constantly-refreshed view; a hot key reduces "
+            "map-side).  Gate: tests/test_cdc.py::TestSnapshot::"
+            "test_snapshot_plan_partial_agg_no_window + equality vs the "
+            "window-route history's open intervals.",
+            _scd2_snapshot_section(ev),
         ),
         (
             "ANN LSH top-k (bucketed candidate join)",
