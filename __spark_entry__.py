@@ -3472,17 +3472,13 @@ _CODE_CALL_EDGES_SQL = (
 )
 
 
-def q_code_inherits(spark, sf_dir):
-    """Cross-repo class-inheritance edges
-    (operators/codegraph.extract_class_inherits +
-    cross_repo_inherit_edges): the type-dependency relation family of the
-    code KG.  Fixture: py docs subclass Ext_src<t>_<k> (defined in repo
-    src<t>), js docs extend the same name via `extends`; c docs carry no
-    inheritance syntax (lang gating); commented shadow classes pin the
-    anchors, and each doc also defines its own Ext_<repo>_<k> so
-    resolution has real owners.  Both capture groups come from ONE
-    pattern so the (child, parent) arrays align positionally in both
-    engines."""
+def _inherits_corpus(spark, sf_dir):
+    """Synthesized corpus with cross-repo class inheritance: py docs
+    subclass Ext_src<t>_<t%2> (defined in repo src<t>), js docs extend
+    the same name via `extends`; c docs carry no inheritance syntax
+    (lang gating); commented shadow classes pin the anchors, and each
+    doc also defines its own Ext_<repo>_<k> so resolution has real
+    owners."""
     raw = _t(spark, sf_dir, "documents")
     k = F.expr("cast(doc_id % 2 as string)")
     t = F.expr("cast((doc_id * 7 + 3) % 20 as string)")
@@ -3522,24 +3518,34 @@ def q_code_inherits(spark, sf_dir):
         .when(F.col("doc_id") % 3 == 1, F.lit("c"))
         .otherwise(F.lit("js"))
     )
-    docs = raw.select(
+    return raw.select(
         F.col("source").alias("repo"),
         F.col("doc_id").cast("string").alias("path"),
         lang.alias("lang"),
         content.alias("content"),
     )
+
+
+def q_code_inherits(spark, sf_dir):
+    """Cross-repo class-inheritance edges
+    (operators/codegraph.extract_class_inherits +
+    cross_repo_inherit_edges): the type-dependency relation family of the
+    code KG, over the _inherits_corpus fixture.  Both capture groups come
+    from ONE pattern so the (child, parent) arrays align positionally in
+    both engines."""
     from military_entity_extraction_based_on_large_models_spark.operators.codegraph import (
         LANG_CLASS_DEF_PATTERNS,
         cross_repo_inherit_edges,
         extract_class_inherits,
     )
 
+    docs = _inherits_corpus(spark, sf_dir)
     class_defs = extract_function_defs(docs, patterns=LANG_CLASS_DEF_PATTERNS)
     return cross_repo_inherit_edges(extract_class_inherits(docs), class_defs)
 
 
-_CODE_INHERITS_SQL = r"""
-            WITH docs AS (
+# comma-less CTE list so repo_centrality can splice it into a larger WITH
+_INHERITS_CORPUS_SQL = r"""idocs AS (
               SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path,
                 CASE CAST(doc_id % 3 AS INT)
                   WHEN 0 THEN 'py' WHEN 1 THEN 'c' ELSE 'js' END AS lang,
@@ -3583,19 +3589,119 @@ _CODE_INHERITS_SQL = r"""
               SELECT d.repo, d.path,
                 unnest(regexp_extract_all(d.content, p.pat, 1)) AS child,
                 unnest(regexp_extract_all(d.content, p.pat, 2)) AS parent
-              FROM docs d JOIN inhpats p ON d.lang = p.lang
-            ), dim AS (
+              FROM idocs d JOIN inhpats p ON d.lang = p.lang
+            ), icdim AS (
               SELECT DISTINCT
                 unnest(regexp_extract_all(d.content, p.pat, 1)) AS cls,
                 d.repo AS dst_repo
-              FROM docs d JOIN clspats p ON d.lang = p.lang
-            )
-            SELECT i.repo AS src_repo, dim.dst_repo, i.child, i.parent,
+              FROM idocs d JOIN clspats p ON d.lang = p.lang
+            )"""
+
+_CODE_INHERITS_SQL = (
+    "\n            WITH "
+    + _INHERITS_CORPUS_SQL
+    + """
+            SELECT i.repo AS src_repo, icdim.dst_repo, i.child, i.parent,
                    count(*) AS n_inherits
-            FROM inh i JOIN dim ON i.parent = dim.cls
-            WHERE i.repo <> dim.dst_repo
+            FROM inh i JOIN icdim ON i.parent = icdim.cls
+            WHERE i.repo <> icdim.dst_repo
             GROUP BY 1, 2, 3, 4
 """
+)
+
+
+def q_repo_centrality(spark, sf_dir):
+    """The code-KG endgame: ALL THREE relation families — module imports
+    (codegraph.repo_dependency_edges), cross-repo function calls
+    (cross_repo_call_edges), class inheritance (cross_repo_inherit_edges)
+    — unified into one distinct undirected repo graph and ranked by the
+    fixed-iteration integer PageRank.  The oracle replays the ENTIRE
+    chain: three RE2 extraction corpora as CTEs, three resolutions, the
+    union, and the unrolled integer iterations — the rank vector
+    hash-matches end to end."""
+    from military_entity_extraction_based_on_large_models_spark.operators.codegraph import (
+        LANG_CLASS_DEF_PATTERNS,
+        cross_repo_inherit_edges,
+        extract_class_inherits,
+    )
+    from military_entity_extraction_based_on_large_models_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    docs_i, owners = _codegraph_docs_owners(spark, sf_dir)
+    dep = repo_dependency_edges(extract_import_edges(docs_i), owners).select(
+        "src_repo", "dst_repo"
+    )
+    cdocs = _defs_corpus(spark, sf_dir)
+    calls = cross_repo_call_edges(
+        extract_call_sites(cdocs), extract_function_defs(cdocs)
+    ).select("src_repo", "dst_repo")
+    idocs = _inherits_corpus(spark, sf_dir)
+    class_defs = extract_function_defs(idocs, patterns=LANG_CLASS_DEF_PATTERNS)
+    inh = cross_repo_inherit_edges(
+        extract_class_inherits(idocs), class_defs
+    ).select("src_repo", "dst_repo")
+    dep_all = dep.unionByName(calls).unionByName(inh).distinct()
+    edges = (
+        dep_all.select(
+            F.col("src_repo").alias("src"), F.col("dst_repo").alias("dst")
+        )
+        .unionByName(
+            dep_all.select(
+                F.col("dst_repo").alias("src"), F.col("src_repo").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    return pagerank(edges, n_iters=5).withColumnRenamed("node", "repo")
+
+
+def _repo_centrality_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.pagerank import (
+        pagerank_sql,
+    )
+
+    edges = (
+        _CODEGRAPH_SQL_PREFIX
+        + _DEFS_CORPUS_SQL.replace("WITH docs AS", ", docs AS", 1)
+        + r"""
+            , calls AS (
+              SELECT d.repo,
+                     unnest(regexp_extract_all(d.content,
+                       '([A-Za-z_][A-Za-z0-9_]*)[ \t]*\(', 1)) AS func
+              FROM docs d
+            ), cdim AS (
+              SELECT DISTINCT func, repo AS dst_repo FROM defs
+            ), """
+        + _INHERITS_CORPUS_SQL
+        + """
+            , dep AS (
+              SELECT DISTINCT n.source AS a, o.repo AS b
+              FROM norm n JOIN owners o ON n.module = o.module
+              WHERE n.source <> o.repo
+            ), celt AS (
+              SELECT DISTINCT c.repo AS a, cdim.dst_repo AS b
+              FROM calls c JOIN cdim ON c.func = cdim.func
+              WHERE c.repo <> cdim.dst_repo
+            ), ielt AS (
+              SELECT DISTINCT i.repo AS a, icdim.dst_repo AS b
+              FROM inh i JOIN icdim ON i.parent = icdim.cls
+              WHERE i.repo <> icdim.dst_repo
+            ), allde AS (
+              SELECT a, b FROM dep
+              UNION SELECT a, b FROM celt
+              UNION SELECT a, b FROM ielt
+            )
+            SELECT a AS src, b AS dst FROM allde
+            UNION
+            SELECT b AS src, a AS dst FROM allde
+        """
+    )
+    return (
+        "SELECT node AS repo, rank_fixed, rank FROM ("
+        + pagerank_sql(edges, n_iters=5)
+        + ") prc_final"
+    )
 
 
 def q_code_quality(spark, sf_dir):
@@ -4155,6 +4261,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality": q_code_quality,
         "code_inherits": q_code_inherits,
         "anti_join_customers": q_anti_join_customers,
+        "repo_centrality": q_repo_centrality,
     }
 
 
@@ -4579,4 +4686,5 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         """,
+        "repo_centrality": _repo_centrality_sql(),
     }
