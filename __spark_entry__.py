@@ -1411,6 +1411,55 @@ def q_kg_ntriples(spark, sf_dir):
     return to_ntriples(t)
 
 
+def q_kg_predicate_profile(spark, sf_dir):
+    """Per-predicate KG audit (operators/kgaudit.predicate_profile) over
+    the materialized instance_of/located_in triple stream: assertion
+    count, distinct (s,o), duplicate re-assertions, subject/object
+    cardinalities, hottest-subject fanout — the ship-readiness report
+    the reference never computes (it writes the KG file and moves on,
+    foundation_workflow.py)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.kgaudit import (
+        predicate_profile,
+    )
+
+    t = _kg_base(spark, sf_dir).where(
+        F.col("pred").isin("instance_of", "located_in")
+    )
+    return predicate_profile(t)
+
+
+_KG_PREDICATE_PROFILE_SQL = f"""
+            WITH m AS (
+              SELECT DISTINCT d.doc_id, g.canonical, g.label
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+            ), tri AS (
+              SELECT canonical AS subj, 'instance_of' AS pred, label AS obj
+              FROM m
+              UNION ALL
+              SELECT a.canonical, 'located_in', b.canonical
+              FROM m a JOIN m b ON a.doc_id = b.doc_id
+              WHERE a.label <> 'location' AND b.label = 'location'
+            ), prof AS (
+              SELECT pred,
+                     count(*) AS n_triples,
+                     count(DISTINCT (subj, obj)) AS n_distinct,
+                     count(DISTINCT subj) AS n_subjects,
+                     count(DISTINCT obj) AS n_objects
+              FROM tri GROUP BY pred
+            ), fan AS (
+              SELECT pred, max(c) AS max_subj_fanout
+              FROM (SELECT pred, subj, count(*) AS c
+                    FROM tri GROUP BY pred, subj)
+              GROUP BY pred
+            )
+            SELECT p.pred, p.n_triples, p.n_distinct,
+                   p.n_triples - p.n_distinct AS n_dup,
+                   p.n_subjects, p.n_objects, f.max_subj_fanout
+            FROM prof p JOIN fan f USING (pred)
+"""
+
+
 def q_doc_repetition(spark, sf_dir):
     """Repetition quality features (public Gopher-style rules, over n-grams
     since synthetic/web text often lacks line structure): duplicate-5-gram
@@ -4262,6 +4311,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_inherits": q_code_inherits,
         "anti_join_customers": q_anti_join_customers,
         "repo_centrality": q_repo_centrality,
+        "kg_predicate_profile": q_kg_predicate_profile,
     }
 
 
@@ -4687,4 +4737,5 @@ def retired_oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         """,
         "repo_centrality": _repo_centrality_sql(),
+        "kg_predicate_profile": _KG_PREDICATE_PROFILE_SQL,
     }
