@@ -1614,6 +1614,59 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank(edges, n_iters=5).withColumnRenamed("node", "entity")
 
 
+def q_kg_communities(spark, sf_dir):
+    """Entity community detection (operators/labelprop): deterministic
+    SYNCHRONOUS label propagation over the symmetrized co-occurrence
+    graph — fixed 5 rounds, min(struct(-count, label)) tie-break, all
+    BIGINT — the dense-cluster complement of connected components (the
+    co-occurrence graph is essentially one component; its communities
+    are the structure).  The oracle replays the identical rounds as
+    chained CTEs (label_propagation_sql)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.labelprop import (
+        label_propagation,
+    )
+
+    t = _kg_base(spark, sf_dir)
+    e = (
+        t.where(F.col("pred") == "co_occurs_with")
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .distinct()
+    )
+    edges = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return label_propagation(edges, n_iters=5).withColumnRenamed(
+        "node", "entity"
+    )
+
+
+def _kg_communities_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.labelprop import (
+        label_propagation_sql,
+    )
+
+    edges = f"""
+        WITH ment AS (
+          SELECT DISTINCT d.doc_id, g.canonical
+          FROM documents d JOIN {GAZ_SQL}
+            ON position(g.alias IN d.text) > 0
+          WHERE g.label <> 'location'
+        ), co AS (
+          SELECT DISTINCT a.canonical AS a, b.canonical AS b
+          FROM ment a JOIN ment b
+            ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+        )
+        SELECT a AS src, b AS dst FROM co
+        UNION ALL
+        SELECT b AS src, a AS dst FROM co
+    """
+    return (
+        "SELECT node AS entity, community FROM ("
+        + label_propagation_sql(edges, n_iters=5)
+        + ") lp_final"
+    )
+
+
 def q_doc_pii_scrub(spark, sf_dir):
     """PII scrubbing (standard pre-training cleanup): emails and long digit
     runs become typed placeholders via two codegen regexp_replace passes
@@ -4312,6 +4365,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_customers": q_anti_join_customers,
         "repo_centrality": q_repo_centrality,
         "kg_predicate_profile": q_kg_predicate_profile,
+        "kg_communities": q_kg_communities,
     }
 
 
@@ -4738,4 +4792,5 @@ def retired_oracle_sql() -> dict[str, str]:
         """,
         "repo_centrality": _repo_centrality_sql(),
         "kg_predicate_profile": _KG_PREDICATE_PROFILE_SQL,
+        "kg_communities": _kg_communities_sql(),
     }
