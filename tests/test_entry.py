@@ -103,3 +103,26 @@ def test_query_matches_oracle(spark, duck, name):
 def test_rows_only_queries_run(spark, name):
     sdf = QUERIES[name](spark, SF_DIR)
     assert sdf.count() >= 0
+
+
+# queries whose EMPTY result is the correct, documented answer
+_EXPECTED_EMPTY = {
+    # sf0.01 has no customer without orders; the anti-join family's
+    # non-vacuous coverage is semi_join_orders (retired r5 for exactly
+    # this reason)
+    "anti_join_customers",
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_not_vacuous(duck, name):
+    """Guard against fixtures that self-defeat into 0 = 0 hash matches
+    (r5 caught code_call_edges/code_inherits passing vacuously after a
+    parity mismatch in the planted corpus): every oracle must produce
+    rows at the driver's correctness scale, except the documented empty
+    answers."""
+    n = len(duck.execute(ORACLES[name]).fetchall())
+    if name in _EXPECTED_EMPTY:
+        assert n == 0, name
+    else:
+        assert n > 0, name
