@@ -474,6 +474,27 @@ def q_dedup_minhash_verified(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_incremental_verified(spark, sf_dir):
+    """INCREMENTAL near-dedup (dedup.minhash_band_table +
+    lsh_pairs_incremental): the 10%% batch (doc_id%%10==0) pairs against
+    the stored corpus index and itself — never corpus×corpus — then exact
+    Jaccard ≥ 0.9 verify.  Oracle: all-pairs exact Jaccard RESTRICTED to
+    pairs touching the new batch, so both the recall of the incremental
+    banding and the never-re-pair-the-corpus semantics are hash-gated."""
+    d = _t(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    nb = dedup.minhash_band_table(new, text_col="text", id_col="doc_id")
+    cb = dedup.minhash_band_table(corpus, text_col="text", id_col="doc_id")
+    cands = dedup.lsh_pairs_incremental(nb, cb)
+    verified = dedup.ngram_jaccard_pairs(
+        d, cands, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.9
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def q_dedup_minhash_pairs(spark, sf_dir):
     # xxhash64-based — not DuckDB-expressible (rows-only check).
     # 8-row bands → S-curve threshold ≈ 0.84: the driver corpus is a word
@@ -4366,6 +4387,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_centrality": q_repo_centrality,
         "kg_predicate_profile": q_kg_predicate_profile,
         "kg_communities": q_kg_communities,
+        "dedup_incremental_verified": q_dedup_incremental_verified,
     }
 
 
@@ -4793,4 +4815,29 @@ def retired_oracle_sql() -> dict[str, str]:
         "repo_centrality": _repo_centrality_sql(),
         "kg_predicate_profile": _KG_PREDICATE_PROFILE_SQL,
         "kg_communities": _kg_communities_sql(),
+        "dedup_incremental_verified": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          ELSE [array_to_string(w, ' ')] END AS s
+              FROM toks
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+            FROM pairs
+            WHERE jaccard >= 0.9
+              AND (id_a % 10 = 0 OR id_b % 10 = 0)
+        """,
     }

@@ -387,3 +387,70 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def minhash_band_table(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_sha",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) — the MATERIALIZABLE LSH index of a corpus.
+
+    This is minhash_lsh_pairs' banding stage exposed as a table: write it
+    out once per corpus snapshot and incremental batches join against it
+    (lsh_pairs_incremental) instead of re-sketching 100 TB per refresh.
+    Same single-expression signature + one posexplode plan.
+    """
+    narrow = scale_out(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    )
+    bands = minhash_band_buckets(
+        T.shingles(F.col("_t"), shingle_n), n_hashes, n_bands
+    )
+    return narrow.select("id", F.posexplode(bands).alias("band", "bucket"))
+
+
+def lsh_pairs_incremental(
+    new_bands: DataFrame,
+    corpus_bands: DataFrame,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Candidate pairs TOUCHING THE NEW BATCH only: new×corpus plus
+    new×new — never corpus×corpus.  The incremental dedup workflow: the
+    stored corpus index never re-pairs against itself, so a daily batch
+    costs O(batch + matching buckets), not O(corpus²) or even a corpus
+    re-scan.
+
+    Caller contract: new and corpus id sets are DISJOINT (a re-submitted
+    id belongs in the new batch only).  Pairs are normalized
+    (id_a < id_b) and distinct, identical to pairs_from_buckets, so
+    downstream verify/CC composition is unchanged.  ``max_bucket_size``
+    keeps the degenerate-bucket semantic: corpus buckets over the cap are
+    skipped in the cross join (their members are exact_dedup's job), and
+    the new×new triangle inherits pairs_from_buckets' own cap.
+    """
+    corp = corpus_bands.select(
+        F.col("id").alias("_cid"), "band", "bucket"
+    )
+    if max_bucket_size is not None:
+        eligible = (
+            corp.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        corp = corp.join(eligible, ["band", "bucket"])
+    cross = (
+        new_bands.select(F.col("id").alias("_nid"), "band", "bucket")
+        .join(corp, ["band", "bucket"])
+        .select(
+            F.least("_nid", "_cid").alias("id_a"),
+            F.greatest("_nid", "_cid").alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+    )
+    intra = pairs_from_buckets(new_bands, max_bucket_size=max_bucket_size)
+    return cross.unionByName(intra).distinct()

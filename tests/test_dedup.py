@@ -181,3 +181,70 @@ def test_simhash_hamming_prefilter(spark):
     assert pairs(0) <= pairs(8) <= pairs(None)
     # the true near-dup pair survives a tight cap
     assert ("d000", "d001") in pairs(8)
+
+
+def _band_fixture(spark):
+    """Seeded docs with planted near-dup families straddling the
+    new/corpus split (ids 0,10,20 are 'new'; the rest 'corpus')."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base + " one"),            # new — near-dups 1 (corpus), 10 (new)
+        (1, base + " two"),            # corpus
+        (10, base + " three"),         # new
+        (2, "totally different words about ships and harbors entirely"),
+        (3, "totally different words about ships and harbors entirely!"),
+        # corpus-only near-dup pair (2,3): must NEVER appear incrementally
+        (4, "unrelated singleton content here with many unique tokens"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_pairs_incremental_equals_filtered_full(spark):
+    """Property: incremental pairs == full-corpus pairs restricted to
+    pairs touching the new batch (same bands, uncapped)."""
+    d = _band_fixture(spark)
+    new = d.where(F.col("doc_id").isin(0, 10, 20))
+    corpus = d.where(~F.col("doc_id").isin(0, 10, 20))
+    nb = dedup.minhash_band_table(new, text_col="text", id_col="doc_id")
+    cb = dedup.minhash_band_table(corpus, text_col="text", id_col="doc_id")
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_pairs_incremental(nb, cb, max_bucket_size=None).collect()
+    }
+    full_bands = dedup.minhash_band_table(d, text_col="text", id_col="doc_id")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.pairs_from_buckets(full_bands, max_bucket_size=None).collect()
+    }
+    newset = {0, 10, 20}
+    expected = {p for p in full if p[0] in newset or p[1] in newset}
+    assert inc == expected and len(inc) > 0
+    # and the corpus-only near-dup pair (2, 3) is in full but never here
+    assert (2, 3) in full and (2, 3) not in inc
+
+
+def test_lsh_pairs_incremental_cap_skips_hot_corpus_buckets(spark):
+    # 30 identical corpus docs collapse to identical signatures → every
+    # (band, bucket) they occupy has 30 members; cap 10 must skip them all
+    rows = [(i, "same text every time for this degenerate class") for i in range(1, 31)]
+    rows.append((0, "same text every time for this degenerate class"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    nb = dedup.minhash_band_table(
+        d.where("doc_id = 0"), text_col="text", id_col="doc_id"
+    )
+    cb = dedup.minhash_band_table(
+        d.where("doc_id > 0"), text_col="text", id_col="doc_id"
+    )
+    assert dedup.lsh_pairs_incremental(nb, cb, max_bucket_size=10).count() == 0
+    assert dedup.lsh_pairs_incremental(nb, cb, max_bucket_size=None).count() == 30
+
+
+def test_lsh_pairs_incremental_plan_no_cartesian(spark):
+    d = _band_fixture(spark)
+    nb = dedup.minhash_band_table(d.limit(2), text_col="text", id_col="doc_id")
+    cb = dedup.minhash_band_table(d, text_col="text", id_col="doc_id")
+    plan = (
+        dedup.lsh_pairs_incremental(nb, cb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
