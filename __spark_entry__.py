@@ -3322,6 +3322,69 @@ _EVENTS_SCD2_SQL = """
 """
 
 
+def q_events_coverage(spark, sf_dir):
+    """Interval union + coverage (operators/intervals): each event opens a
+    deterministic (event_id%7+1)×10-minute lease; per user, overlapping/
+    touching leases merge into islands (running-MAX gaps-and-islands — a
+    lag-based split is the classic covered-interval bug, regression-pinned
+    in test_intervals) and the rollup reports total covered time.  All
+    arithmetic in integer microseconds."""
+    from military_entity_extraction_based_on_large_models_spark.operators.intervals import (
+        coverage_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    dur_us = (F.col("event_id") % 7 + 1) * F.lit(600_000_000).cast("long")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("start"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp")) + dur_us
+        ).alias("end"),
+        "event_id",
+    )
+    return coverage_stats(iv, ["user_id"], "start", "end", ("event_id",))
+
+
+_EVENTS_COVERAGE_SQL = """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + (event_id % 7 + 1) * 600000000 AS e,
+                     event_id
+              FROM events
+            ), fl AS (
+              SELECT user_id, s, e, event_id,
+                     CASE WHEN max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                          ) IS NULL
+                          OR s > max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                          )
+                     THEN 1 ELSE 0 END AS isn
+              FROM iv
+            ), isl AS (
+              SELECT user_id, s, e,
+                     sum(isn) OVER (
+                       PARTITION BY user_id ORDER BY s, e, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS island
+              FROM fl
+            ), m AS (
+              SELECT user_id, island,
+                     min(s) AS i_s, max(e) AS i_e,
+                     count(*) AS n
+              FROM isl GROUP BY user_id, island
+            )
+            SELECT user_id,
+                   CAST(sum(i_e - i_s) AS BIGINT) AS covered_us,
+                   count(*) AS n_islands,
+                   CAST(sum(n) AS BIGINT) AS n_intervals
+            FROM m GROUP BY user_id
+"""
+
+
 def q_doc_boilerplate(spark, sf_dir):
     """C4/RefinedWeb-style corpus boilerplate removal
     (operators/boilerplate): drop any non-overlapping 3-word window seen in
@@ -4388,6 +4451,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_profile": q_kg_predicate_profile,
         "kg_communities": q_kg_communities,
         "dedup_incremental_verified": q_dedup_incremental_verified,
+        "events_coverage": q_events_coverage,
     }
 
 
@@ -4840,4 +4904,5 @@ def retired_oracle_sql() -> dict[str, str]:
             WHERE jaccard >= 0.9
               AND (id_a % 10 = 0 OR id_b % 10 = 0)
         """,
+        "events_coverage": _EVENTS_COVERAGE_SQL,
     }
