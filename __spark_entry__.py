@@ -3322,6 +3322,42 @@ _EVENTS_SCD2_SQL = """
 """
 
 
+def q_orders_profile(spark, sf_dir):
+    """Input-contract profiler (operators/profile.profile_table): one-pass
+    per-column null/distinct/range report in long format — the check a
+    pipeline runs against every new data drop before trusting it.
+    Min/max compare in the NATIVE type and render as strings only at the
+    end (string-first comparison is the classic '10' < '9' profiler bug,
+    pinned by test)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.profile import (
+        profile_table,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(
+        o,
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+         "o_orderpriority"],
+    )
+
+
+def _orders_profile_sql() -> str:
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority"]
+    parts = [
+        f"""
+            SELECT '{c}' AS "column", count(*) AS n_rows,
+                   CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_value,
+                   CAST(max({c}) AS VARCHAR) AS max_value
+            FROM orders
+        """
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def q_events_coverage(spark, sf_dir):
     """Interval union + coverage (operators/intervals): each event opens a
     deterministic (event_id%7+1)×10-minute lease; per user, overlapping/
@@ -4452,6 +4488,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "events_coverage": q_events_coverage,
+        "orders_profile": q_orders_profile,
     }
 
 
@@ -4905,4 +4942,5 @@ def retired_oracle_sql() -> dict[str, str]:
               AND (id_a % 10 = 0 OR id_b % 10 = 0)
         """,
         "events_coverage": _EVENTS_COVERAGE_SQL,
+        "orders_profile": _orders_profile_sql(),
     }
