@@ -3322,6 +3322,55 @@ _EVENTS_SCD2_SQL = """
 """
 
 
+def q_events_outliers(spark, sf_dir):
+    """Exact-integer anomaly flagging (operators/anomaly.flag_outliers):
+    per-event_type z≥3 outliers via the all-integer form
+    (n·x − S)² > 9·(n·Q − S²) — sums BIGINT, squares DECIMAL(38,0)
+    (HUGEINT in the oracle), zero floats, so boundary rows cannot flip
+    between engines or partitionings.  Every event_id%499==0 row's value
+    is inflated 50× so the screen provably fires (a uniform value
+    distribution alone has max |z| ≈ 1.7 — no natural 3σ outliers)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.anomaly import (
+        flag_outliers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    planted = ev.select(
+        "event_id",
+        "event_type",
+        (
+            F.col("value")
+            * F.when(F.col("event_id") % 499 == 0, F.lit(50)).otherwise(F.lit(1))
+        ).alias("v"),
+    )
+    return flag_outliers(planted, ["event_type"], "v", scale=100, z=3).select(
+        "event_id", "event_type", "x_scaled", "is_outlier"
+    )
+
+
+_EVENTS_OUTLIERS_SQL = """
+            WITH t AS (
+              SELECT event_id, event_type,
+                     CAST(round(value
+                       * CASE WHEN event_id % 499 = 0 THEN 50 ELSE 1 END
+                       * 100) AS BIGINT) AS x
+              FROM events
+            ), m AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS s,
+                     CAST(sum(x * x) AS BIGINT) AS q
+              FROM t GROUP BY event_type
+            )
+            SELECT t.event_id, t.event_type, t.x AS x_scaled,
+                   ((CAST(m.n AS HUGEINT) * t.x - m.s)
+                      * (CAST(m.n AS HUGEINT) * t.x - m.s)
+                    > 9 * (CAST(m.n AS HUGEINT) * m.q
+                           - CAST(m.s AS HUGEINT) * m.s)) AS is_outlier
+            FROM t JOIN m USING (event_type)
+"""
+
+
 def q_orders_profile(spark, sf_dir):
     """Input-contract profiler (operators/profile.profile_table): one-pass
     per-column null/distinct/range report in long format — the check a
@@ -4489,6 +4538,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "events_coverage": q_events_coverage,
         "orders_profile": q_orders_profile,
+        "events_outliers": q_events_outliers,
     }
 
 
@@ -4943,4 +4993,5 @@ def retired_oracle_sql() -> dict[str, str]:
         """,
         "events_coverage": _EVENTS_COVERAGE_SQL,
         "orders_profile": _orders_profile_sql(),
+        "events_outliers": _EVENTS_OUTLIERS_SQL,
     }
