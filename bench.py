@@ -8,8 +8,19 @@ Prints ONE JSON line:
 The headline metric is total wall time of the query set measured COLD
 (first execution, codegen/JIT included — comparable with rounds <= 3);
 "warm_total_sec"/"queries_warm" report the median of 3 warm repeats per
-query, the steady-state figure comparable across rounds.  Throughput
-figures (docs/sec, triples/sec for the KG pipeline) and the
+query, the steady-state figure comparable across rounds.
+
+Variance protocol (r5 verdict finding #1: single-run cold on this shared
+host spread 66% between two runs of identical code): the DEFAULT
+invocation now runs the whole cold+warm measurement in
+$SPARK_GRAFT_BENCH_RUNS (default 3) FRESH JVMs — cold is genuinely cold
+in each — and reports the per-query MEDIAN across runs for both regimes,
+plus every run's totals and the host load average, so round-over-round
+driver comparisons are robust to noisy neighbors and auditable when they
+are not.  `--one` runs the single-JVM measurement (what each subprocess
+executes).
+
+Throughput figures (docs/sec, triples/sec for the KG pipeline) and the
 two-parallelism scaling run live in BENCH.md — run
 `python bench.py --scaling` to produce both levels (local[4] vs local[16])
 in separate JVMs.
@@ -118,6 +129,70 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     return result
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def run_bench_median(sf_dir: str, cpus: int) -> dict:
+    """Median-of-N protocol: run the single-JVM measurement (``--one``)
+    in N fresh subprocesses — cold timings are genuinely cold in each —
+    and take the per-query median across runs for BOTH regimes.  Also
+    records each run's totals and the 1-minute load average before and
+    after, so a noisy-host round is visible in the artifact itself
+    instead of needing forensics (r5 verdict finding #1)."""
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    load_before = round(os.getloadavg()[0], 2)
+    runs: list[dict] = []
+    for _ in range(n_runs):
+        out = subprocess.run(
+            [sys.executable, __file__, "--one"],
+            env=dict(os.environ),
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    load_after = round(os.getloadavg()[0], 2)
+
+    names = list(runs[0]["queries"])
+    queries = {
+        q: round(_median([r["queries"][q] for r in runs]), 3) for q in names
+    }
+    queries_warm = {
+        q: round(_median([r["queries_warm"][q] for r in runs]), 3)
+        for q in names
+    }
+    total = round(sum(queries.values()), 3)
+    warm_total = round(sum(queries_warm.values()), 3)
+    n_docs = runs[0]["n_docs"]
+    n_triples = runs[0]["n_triples"]
+    kg_sec, kg_warm = queries["kg_pipeline"], queries_warm["kg_pipeline"]
+    return {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "protocol": f"per-query median over {n_runs} fresh-JVM runs",
+        "queries": queries,
+        "warm_total_sec": warm_total,
+        "queries_warm": queries_warm,
+        "runs_total_sec": [r["value"] for r in runs],
+        "runs_warm_total_sec": [r["warm_total_sec"] for r in runs],
+        "loadavg_1m": {"before": load_before, "after": load_after},
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "docs_per_sec": round(n_docs / kg_sec, 1) if kg_sec else None,
+        "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec else None,
+        "docs_per_sec_warm": round(n_docs / kg_warm, 1) if kg_warm else None,
+        "triples_per_sec_warm": (
+            round(n_triples / kg_warm, 1) if kg_warm else None
+        ),
+    }
+
+
 def run_scaling_job(sf_dir: str, cpus: int, replicate: int) -> dict:
     """KG pipeline throughput on a compute-bound input: the sf documents
     replicated ``replicate``× (identical input at every parallelism level —
@@ -189,10 +264,13 @@ def run_scaling_job(sf_dir: str, cpus: int, replicate: int) -> dict:
         gazetteer = build_bigram_gazetteer(base)
     else:
         gazetteer = VOCAB_GAZETTEER
-    # warm-up + best-of-N (SPARK_GRAFT_SCALING_RUNS, default 2): excludes
+    # warm-up + MEDIAN-of-N (SPARK_GRAFT_SCALING_RUNS, default 3): excludes
     # JIT/codegen compile and is robust to noisy-neighbor variance on the
-    # shared host; all runs are reported so intra-config agreement is visible
-    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
+    # shared host.  r5 verdict finding #2: best-of-N made the ≥0.8 criterion
+    # best-run-dependent; the headline figure is now the median, with every
+    # run and the best retained in the artifact so intra-config agreement
+    # (and any residual host noise) stays visible.
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
     pipeline(docs, gazetteer, context_terms={}).count()
     times = []
     n_triples = 0
@@ -200,16 +278,20 @@ def run_scaling_job(sf_dir: str, cpus: int, replicate: int) -> dict:
         t0 = time.time()
         n_triples = pipeline(docs, gazetteer, context_terms={}).count()
         times.append(time.time() - t0)
-    dt = min(times)
+    dt = _median(times)
+    best = min(times)
     spark.stop()
     return {
         "cpus": cpus,
         "n_docs": n_docs,
         "n_triples": n_triples,
         "sec": round(dt, 3),
+        "sec_best": round(best, 3),
         "runs_sec": [round(t, 3) for t in times],
+        "loadavg_1m": round(os.getloadavg()[0], 2),
         "docs_per_sec": round(n_docs / dt, 1),
         "triples_per_sec": round(n_triples / dt, 1),
+        "docs_per_sec_best": round(n_docs / best, 1),
     }
 
 
@@ -254,12 +336,18 @@ def main() -> None:
         t_hi = results[hi]["docs_per_sec"]
         factor = hi / lo
         eff = round((t_hi / t_lo) / factor, 3) if t_lo else None
+        b_lo = results[lo]["docs_per_sec_best"]
+        b_hi = results[hi]["docs_per_sec_best"]
+        eff_best = round((b_hi / b_lo) / factor, 3) if b_lo else None
         print(
             json.dumps(
                 {
                     "metric": f"scaling_efficiency_{lo}_to_{hi}",
                     "value": eff,
                     "unit": "ratio",
+                    "protocol": "median-of-N per level (value); best-of-N"
+                                " retained as value_best",
+                    "value_best": eff_best,
                     f"docs_per_sec_{lo}": t_lo,
                     f"docs_per_sec_{hi}": t_hi,
                     "detail": results,
@@ -271,7 +359,10 @@ def main() -> None:
         replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "256"))
         print(json.dumps(run_scaling_job(SF_DIR, CPUS, replicate)))
         return
-    print(json.dumps(run_bench(SF_DIR, CPUS)))
+    if "--one" in sys.argv:
+        print(json.dumps(run_bench(SF_DIR, CPUS)))
+        return
+    print(json.dumps(run_bench_median(SF_DIR, CPUS)))
 
 
 if __name__ == "__main__":

@@ -7,11 +7,11 @@ z-score is the obvious implementation and the wrong one here: variance
 via float sums is order-dependent in its last ulps, so rows exactly AT
 the boundary flip between partitionings and engines.  Instead the test
 
-    (x − μ)² ≥ z²·σ²          (population σ, documented)
+    (x − μ)² > z²·σ²          (population σ; STRICT — boundary rows pass)
 
 is multiplied through by n² into its integer form
 
-    (n·x − S)² ≥ z²·(n·Q − S²)
+    (n·x − S)² > z²·(n·Q − S²)
 
 with S = Σx, Q = Σx² over the group — every quantity a BIGINT once
 values are quantized (``scale`` units, default centi-units), so the flag

@@ -37,6 +37,8 @@ line-comment negatives ARE handled by the line anchors).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -226,8 +228,11 @@ def owners_from_paths(
     lang = F.col(lang_col)
     p = F.col(path_col)
     p = F.regexp_replace(p, r"^\./", "")
-    for pre in strip_prefixes:
-        p = F.regexp_replace(p, "^" + pre, "")
+    if strip_prefixes:
+        # one alternation applied ONCE, so nested roots strip only the
+        # first matching prefix: src/lib/x.py → lib.x, never x
+        alt = "^(?:" + "|".join(re.escape(pre) for pre in strip_prefixes) + ")"
+        p = F.regexp_replace(p, alt, "")
     ext = F.regexp_replace(p, r"\.(py|c|h|hpp|js)$", "")
     module = (
         F.when(

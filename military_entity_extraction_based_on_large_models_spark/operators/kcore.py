@@ -38,14 +38,20 @@ Scale shape (both loops):
   graph is pathological — a planted chain is the worst case, as with
   connected components).
 
-Determinism: output is THE fixpoint (unique — peeling is confluent: the
-set of nodes surviving is independent of deletion order, the standard
-k-core/trim property), so early exit vs. fixed-iteration replay agree;
+Determinism: on convergence the output is THE fixpoint (unique — peeling
+is confluent: the set of nodes surviving is independent of deletion
+order, the standard k-core/trim property), so early exit vs.
+fixed-iteration replay agree.  If ``max_iterations`` is exhausted while
+the digest is still changing (pathological chain-like graphs), the
+result is a valid intermediate peel but NOT the fixpoint, and a
+``RuntimeWarning`` is raised so the caller knows (ADVICE r5);
 the DuckDB oracles unroll a pinned number of rounds and tests assert the
 fixture converges within the pinned bound.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -62,6 +68,24 @@ def _digest(e: DataFrame, cols: tuple[str, str]) -> tuple:
             F.coalesce(F.bit_xor(F.xxhash64(*cols)), F.lit(0)).alias("h"),
         ).first()
     )
+
+
+def _warn_if_not_fixpoint(
+    op: str, e: DataFrame, cols: tuple[str, str], prev: tuple | None,
+    max_iterations: int,
+) -> None:
+    """Iteration-budget exhaustion guard (ADVICE r5): if the loop ran out
+    of rounds while the digest was still changing, the returned edge set
+    is a valid intermediate peel but NOT the fixpoint — warn so callers
+    know survivors may violate the invariant (e.g. in-core degree < k)."""
+    if _digest(e, cols) != prev:
+        warnings.warn(
+            f"{op}: not converged after max_iterations={max_iterations}; "
+            "returned edge set is a non-fixpoint intermediate (raise "
+            "max_iterations for pathological chain-like graphs)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def k_core(
@@ -107,6 +131,8 @@ def k_core(
             .join(alive.withColumnRenamed("a", "b"), "b", "left_semi")
             .localCheckpoint(eager=False)
         )
+    else:
+        _warn_if_not_fixpoint("k_core", e, ("a", "b"), prev, max_iterations)
     return (
         e.groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
@@ -146,5 +172,9 @@ def trim_to_cycle_core(
             e.join(alive.withColumnRenamed("n", "s"), "s", "left_semi")
             .join(alive.withColumnRenamed("n", "d"), "d", "left_semi")
             .localCheckpoint(eager=False)
+        )
+    else:
+        _warn_if_not_fixpoint(
+            "trim_to_cycle_core", e, ("s", "d"), prev, max_iterations
         )
     return e.select(F.col("s").alias(src), F.col("d").alias(dst))

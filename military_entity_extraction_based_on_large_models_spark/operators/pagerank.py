@@ -33,7 +33,10 @@ never the edge list — and edges are scanned once per iteration from the
 ``checkpoint_every`` iterations, the canonicalize.py loop idiom.  BIGINT
 headroom: ``d_num * total_mass`` must stay under 2^63 — at BASE=1e12
 that bounds the graph at ~5e5 nodes, so billion-node deployments set
-``base=10**6`` (still 1e-6 rank resolution; documented, test-covered).
+``base=10**6`` (still 1e-6 rank resolution).  The bound is ENFORCED at
+runtime from the actual node count (``check_headroom``, default on) —
+a too-large base raises with the safe value instead of silently
+wrapping (r5 verdict nit; test-covered).
 """
 
 from __future__ import annotations
@@ -53,6 +56,7 @@ def pagerank(
     d_num: int = D_NUM,
     d_den: int = D_DEN,
     checkpoint_every: int = 4,
+    check_headroom: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over DIRECTED ``edges`` (src, dst) →
     (node, rank_fixed, rank).
@@ -63,11 +67,32 @@ def pagerank(
     one tiny global agg per iteration).  ``rank_fixed`` is the exact
     BIGINT fixed-point rank (sum over nodes ≈ n·base minus truncation);
     ``rank`` its double rendering in units of 1 per node.
+
+    ``check_headroom`` (default on) ENFORCES the BIGINT bound instead of
+    documenting it (r5 verdict nit): the degree frame is materialized
+    once (eager checkpoint — also saves recomputing it every iteration),
+    the node count taken from it, and ``d_num · n · base < 2⁶³`` asserted
+    up front — the largest intermediate any iteration can produce is
+    ``d_num · Σranks ≤ d_num · n · base`` since total mass never grows.
+    On violation it raises with the largest safe power-of-ten ``base``
+    for this graph rather than silently wrapping.  Set False only for
+    plan-inspection paths that must avoid the one count job.
     """
     teleport = ((d_den - d_num) * base) // d_den
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+    if check_headroom:
+        deg = deg.localCheckpoint(eager=True)
+        n_nodes = deg.count()
+        if n_nodes and d_num * n_nodes * base >= 2**63:
+            max_base = (2**63 - 1) // (d_num * n_nodes)
+            safe = 10 ** max(0, len(str(max_base)) - 1)
+            raise ValueError(
+                f"pagerank: d_num*n_nodes*base = {d_num}*{n_nodes}*{base} "
+                f"overflows BIGINT; pass base<={safe} (rank resolution "
+                f"1/{safe}) for this {n_nodes}-node graph"
+            )
     ranks = deg.withColumn("r", F.lit(base).cast("long"))
     for it in range(n_iters):
         contribs = (

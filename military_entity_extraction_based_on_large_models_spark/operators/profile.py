@@ -40,17 +40,26 @@ def profile_table(
     rendered as strings in the output only."""
     cols = list(columns) if columns is not None else list(df.columns)
     aggs = [F.count(F.lit(1)).alias("_rows")]
-    for c in cols:
-        col = F.col(c)
+    # internal aliases are INDEX-keyed (never derived from the column name),
+    # input columns resolve through backtick quoting, and name literals in
+    # stack() are quote-escaped, so names containing dots, spaces, quotes,
+    # or hyphens profile fine (ADVICE r5)
+    for i, c in enumerate(cols):
+        col = F.col("`" + c.replace("`", "``") + "`")
         aggs += [
-            F.sum(col.isNull().cast("long")).alias(f"_nn_{c}"),
-            F.count_distinct(col).alias(f"_nd_{c}"),
-            F.min(col).cast("string").alias(f"_mn_{c}"),
-            F.max(col).cast("string").alias(f"_mx_{c}"),
+            F.sum(col.isNull().cast("long")).alias(f"_nn_{i}"),
+            F.count_distinct(col).alias(f"_nd_{i}"),
+            F.min(col).cast("string").alias(f"_mn_{i}"),
+            F.max(col).cast("string").alias(f"_mx_{i}"),
         ]
     one = df.agg(*aggs)
+
+    def _q(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack_args = ", ".join(
-        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+        f"{_q(c)}, _nn_{i}, _nd_{i}, _mn_{i}, _mx_{i}"
+        for i, c in enumerate(cols)
     )
     return one.select(
         F.expr(

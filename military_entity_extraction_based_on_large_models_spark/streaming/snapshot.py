@@ -13,9 +13,14 @@ Semantics pin: the winner is max by ``(ts, seq)`` with ``seq`` unique —
 the IDENTICAL total order as the batch operator, so replaying any
 partitioning of the same change log through the stream and taking each
 key's LAST emission reproduces ``latest_snapshot`` exactly (including
-out-of-order delivery: an older change arriving late never regresses the
-state).  Batch parity is asserted in tests over multi-micro-batch,
-shuffled-order replays.
+out-of-order delivery: while a key's state is LIVE — within the
+processing-time expiry window below — an older change arriving late
+never regresses the state; after expiry the key's (ts, seq) watermark is
+forgotten, so a late OLDER change would be accepted as a fresh winner.
+Deployments whose change feed can lag past the expiry window must either
+raise ``_EXPIRY_MS`` or persist each key's winning (ts, seq) externally
+and filter the input against it).  Batch parity is asserted in tests
+over multi-micro-batch, shuffled-order replays.
 
 State is one fixed-width tuple per key — O(keys), no history — expired
 via processing-time timeout like the other stateful operators

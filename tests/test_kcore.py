@@ -127,3 +127,24 @@ def test_kcore_repartition_invariance(spark):
 def test_kcore_rejects_bad_k(spark):
     with pytest.raises(ValueError):
         k_core(_edf(spark, EDGES), 0)
+
+
+def test_kcore_warns_on_iteration_exhaustion(spark):
+    # a 12-node chain peels one node from each end per round: k=2 needs
+    # ~6 rounds to empty, so max_iterations=2 exhausts mid-peel — the
+    # result is a non-fixpoint intermediate and must carry a warning
+    import warnings as _w
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = k_core(chain, k=2, max_iterations=2).collect()
+    assert any("not converged" in str(w.message) for w in rec)
+    assert out  # intermediate peel: survivors remain (chain not yet empty)
+    # converged run on the same input: no warning, empty fixpoint
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        assert k_core(chain, k=2, max_iterations=30).count() == 0
+    assert not any("not converged" in str(w.message) for w in rec2)

@@ -98,3 +98,18 @@ def test_pagerank_small_base_headroom(spark):
     order = sorted(full, key=lambda n: (-full[n], n))
     order_small = sorted(small, key=lambda n: (-small[n], n))
     assert order == order_small
+
+
+def test_pagerank_headroom_enforced(spark):
+    # 3 nodes at base=1e18: 17 * 3 * 1e18 > 2^63 — must raise with the
+    # safe power-of-ten base instead of silently wrapping
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="overflows BIGINT.*base<="):
+        pagerank(df, n_iters=1, base=10**18)
+    # the suggested scale passes and stays bit-deterministic
+    got = {r["node"]: r["rank_fixed"] for r in pagerank(df, 1, base=10**17).collect()}
+    assert got == _replay([(1, 2), (2, 3), (3, 1)], 1, base=10**17)

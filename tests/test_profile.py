@@ -56,3 +56,19 @@ def test_single_scan_plan(spark):
     assert "Join" not in plan and "Window" not in plan
     assert "Expand" in plan
     assert plan.count("Scan ") <= 1
+
+
+def test_weird_column_names_profile_fine(spark):
+    # dots, spaces, quotes, hyphens in identifiers must not break the
+    # stack() expression (ADVICE r5: index-keyed internal aliases +
+    # quote-escaped name literals)
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)],
+        ["col-with 'quote'.dot", "plain"],
+    )
+    got = {
+        r["column"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+        for r in profile_table(df).collect()
+    }
+    assert got["col-with 'quote'.dot"] == (2, 0, 2)
+    assert got["plain"] == (2, 1, 1)
