@@ -81,3 +81,60 @@ class TestPlan:
             setsim_join(_df(spark, [(1, ["a"])]), t_num=0, t_den=1)
         with pytest.raises(ValueError):
             setsim_join(_df(spark, [(1, ["a"])]), t_num=3, t_den=2)
+
+
+class TestAutoSkew:
+    """r6: the setsim ring of the auto-skew program — exact salted
+    replicate-join for hot prefix tokens, probe-engaged."""
+
+    def _skewed_rows(self):
+        # 'hot' appears in every doc and, at t=3/10, prefixes are long
+        # enough to admit it; the rest are distinct-ish tails
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(40)]
+        return [
+            (i, ["hot"] + rng.sample(vocab, rng.randint(2, 6)))
+            for i in range(60)
+        ]
+
+    def test_forced_hot_tokens_preserve_results(self, spark):
+        rows = self._skewed_rows()
+        plain = _spark_pairs(spark, rows, 3, 10)
+        salted = {
+            (r["id_a"], r["id_b"], r["inter"], r["uni"], r["jaccard_micro"])
+            for r in setsim_join(
+                _df(spark, rows), t_num=3, t_den=10,
+                hot_prefix_tokens=["hot"], buckets=8,
+            ).collect()
+        }
+        assert salted == plain == _brute(rows, 3, 10)
+
+    def test_auto_engages_on_hot_prefix_and_matches(self, spark):
+        from military_entity_extraction_based_on_large_models_spark.operators.setsim import (
+            setsim_join_auto,
+        )
+
+        rows = self._skewed_rows()
+        df = _df(spark, rows)
+        auto = setsim_join_auto(df, t_num=3, t_den=10, hot_rows_threshold=10)
+        plan = auto._jdf.queryExecution().executedPlan().toString()
+        # the engaged plan is the hot/cold split: a Union of the two
+        # candidate joins feeds the distinct
+        assert "Union" in plan
+        got = {
+            (r["id_a"], r["id_b"], r["inter"], r["uni"], r["jaccard_micro"])
+            for r in auto.collect()
+        }
+        assert got == _brute(rows, 3, 10)
+
+    def test_auto_stays_plain_below_threshold(self, spark):
+        from military_entity_extraction_based_on_large_models_spark.operators.setsim import (
+            setsim_join_auto,
+        )
+
+        rows = self._skewed_rows()
+        auto = setsim_join_auto(
+            _df(spark, rows), t_num=3, t_den=10, hot_rows_threshold=10_000
+        )
+        plan = auto._jdf.queryExecution().executedPlan().toString()
+        assert "Union" not in plan

@@ -140,3 +140,24 @@ def test_topk_auto_switches_and_stays_exact(spark):
     # plan check: only the engaged path carries the salt column
     assert "_salt" in hot._jdf.queryExecution().executedPlan().toString()
     assert "_salt" not in cold._jdf.queryExecution().executedPlan().toString()
+
+
+def test_distinct_count_auto_switches_and_stays_exact(spark):
+    """r6: salted_distinct_count_auto — salted two-phase above threshold,
+    plain count_distinct below, identical results either way."""
+    rows = [("hot", f"d{i % 700}") for i in range(4000)] + [
+        ("cold", f"d{i}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["k", "doc"])
+    want = {("hot",): 700, ("cold",): 30}
+    hot = skew.salted_distinct_count_auto(
+        df, ["k"], "doc", hot_rows_threshold=1000, buckets=8
+    )
+    cold = skew.salted_distinct_count_auto(
+        df, ["k"], "doc", hot_rows_threshold=10_000
+    )
+    for out in (hot, cold):
+        got = {(r["k"],): r["n_distinct"] for r in out.collect()}
+        assert got == want
+    assert "_salt" in hot._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" not in cold._jdf.queryExecution().executedPlan().toString()
