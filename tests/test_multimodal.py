@@ -121,3 +121,104 @@ def test_extract_image_features_real_decode(spark):
     assert g["error"] is None
     # row-level containment for the genuinely-undecodable payload
     assert feats["bad"]["error"] is not None and feats["bad"]["width"] is None
+
+
+# ---------------------------------------------------------------------------
+# r6: real PNG codec
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_channels_and_filters():
+    import numpy as np
+
+    from military_entity_extraction_based_on_large_models_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    # heights > 5 exercise every filter type (encoder cycles y % 5);
+    # widths straddle the bpp boundary and the int16-cumsum hazard width
+    for ch in (1, 2, 3, 4):
+        for h, w in [(1, 1), (6, 3), (9, 257)]:
+            px = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+            rt = decode_png(encode_png(px))
+            assert rt.shape == (h, w, ch)
+            assert (rt == px).all(), (ch, h, w)
+
+
+def test_png_golden_bytes():
+    """Pin the container format itself: a hand-checked 2x2 RGB image with
+    filter types 0 (row 0) and 1 (row 1)."""
+    import numpy as np
+
+    from military_entity_extraction_based_on_large_models_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+        dtype=np.uint8,
+    )
+    data = encode_png(px)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert data[12:16] == b"IHDR"
+    # IHDR: w=2, h=2, depth=8, color type 2 (RGB), no interlace
+    assert data[16:29] == bytes(
+        [0, 0, 0, 2, 0, 0, 0, 2, 8, 2, 0, 0, 0]
+    )
+    assert (decode_png(data) == px).all()
+
+
+def test_png_error_modes():
+    import numpy as np
+    import pytest
+
+    from military_entity_extraction_based_on_large_models_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    good = encode_png(px)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"nope" * 4)
+    corrupt = bytearray(good)
+    corrupt[60] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|chunk"):
+        decode_png(bytes(corrupt))
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(good[:40])
+    with pytest.raises(ValueError, match="JPEG.*environment-blocked"):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")
+    with pytest.raises(ValueError, match="unknown image format"):
+        decode_image(b"GIF89a...")
+
+
+def test_extract_image_features_png_matches_bmp(spark):
+    """The SAME synthetic pixels through both real containers must yield
+    identical stats — cross-codec agreement is the in-Spark counterpart of
+    the media_features_png DuckDB oracle."""
+    from military_entity_extraction_based_on_large_models_spark.operators.multimodal import (
+        extract_image_features,
+        synthetic_bmp_media,
+        synthetic_png_media,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = spark.range(12).select(F.col("id").alias("doc_id"))
+    cols = ["media_id", "width", "height", "px00_r", "px00_g", "px00_b", "mean_all"]
+    bmp = {
+        tuple(r)
+        for r in extract_image_features(synthetic_bmp_media(docs))
+        .select(*cols).collect()
+    }
+    png = {
+        tuple(r)
+        for r in extract_image_features(synthetic_png_media(docs))
+        .select(*cols).collect()
+    }
+    assert bmp == png and len(bmp) == 12
