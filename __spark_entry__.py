@@ -1105,6 +1105,31 @@ def q_media_features_real(spark, sf_dir):
     )
 
 
+def q_doc_dup_spans(spark, sf_dir):
+    """Exact substring-duplication spans (r6 — Lee et al. 2021 suffix-array
+    dedup in k-gram form, operators/substrdup.py): maximal per-doc token
+    spans covered by k-grams occurring ≥ 2 times in the corpus.  The oracle
+    replays the identical k-gram counting + gaps-and-islands merge in SQL —
+    string gram keys, so there is no hash to disagree on."""
+    from military_entity_extraction_based_on_large_models_spark.operators.substrdup import (
+        duplicate_spans,
+    )
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_doc_dup_stats(spark, sf_dir):
+    """Per-document substring-duplication coverage (r6): union of
+    duplicated spans as token count and integer micro-fraction — the
+    curation screen for partially-duplicated documents (boilerplate,
+    license blocks, quoted passages)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.substrdup import (
+        duplicate_span_stats,
+    )
+
+    return duplicate_span_stats(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_media_features_png(spark, sf_dir):
     """REAL PNG decode (r6 — VERDICT r5 "missing" #1, PNG half): per-document
     synthetic PNGs (genuine spec-conformant files — chunk CRCs, zlib IDAT,
@@ -4564,6 +4589,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_profile": q_orders_profile,
         "events_outliers": q_events_outliers,
         "media_features_png": q_media_features_png,
+        "doc_dup_spans": q_doc_dup_spans,
+        "doc_dup_stats": q_doc_dup_stats,
     }
 
 
@@ -4699,6 +4726,77 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
+        """,
+        # r6 substring-duplication family: identical k-gram counting +
+        # gaps-and-islands merge replayed in SQL (string gram keys — no
+        # hash to disagree on; the window pair mirrors intervals.py)
+        "doc_dup_spans": f"""
+            WITH t AS (
+              SELECT doc_id, {_WS_TOKS} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, CAST(u.x AS BIGINT) AS pos,
+                     array_to_string(toks[u.x + 1 : u.x + 3], ' ') AS gram
+              FROM t, UNNEST(range(0, GREATEST(len(toks) - 2, 0))) AS u(x)
+            ), dupg AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+            ), hits AS (
+              SELECT doc_id, pos, pos + 3 AS e FROM g JOIN dupg USING (gram)
+            ), m AS (
+              SELECT doc_id, pos, e,
+                     CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                           OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS isnew
+              FROM hits
+            ), i AS (
+              SELECT doc_id, pos, e,
+                     sum(isnew) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM m
+            )
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(e) AS BIGINT) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_grams
+            FROM i GROUP BY doc_id, island
+        """,
+        "doc_dup_stats": f"""
+            WITH t AS (
+              SELECT doc_id, {_WS_TOKS} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, CAST(u.x AS BIGINT) AS pos,
+                     array_to_string(toks[u.x + 1 : u.x + 3], ' ') AS gram
+              FROM t, UNNEST(range(0, GREATEST(len(toks) - 2, 0))) AS u(x)
+            ), dupg AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+            ), hits AS (
+              SELECT doc_id, pos, pos + 3 AS e FROM g JOIN dupg USING (gram)
+            ), m AS (
+              SELECT doc_id, pos, e,
+                     CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                           OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS isnew
+              FROM hits
+            ), i AS (
+              SELECT doc_id, pos, e,
+                     sum(isnew) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM m
+            ), sp AS (
+              SELECT doc_id, min(pos) AS s, max(e) AS e2
+              FROM i GROUP BY doc_id, island
+            ), per AS (
+              SELECT doc_id, sum(e2 - s) AS dup_tokens FROM sp GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CAST(CASE WHEN len(t.toks) > 0
+                        THEN coalesce(per.dup_tokens, 0) * 1000000 // len(t.toks)
+                        ELSE 0 END AS BIGINT) AS dup_micro
+            FROM t LEFT JOIN per USING (doc_id)
         """,
         # REAL PNG decode (r6): the same closed-form pixel oracle as
         # media_features_real — identical pixel content flows through a
