@@ -1130,6 +1130,21 @@ def q_doc_dup_stats(spark, sf_dir):
     return duplicate_span_stats(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_doc_dup_trim(spark, sf_dir):
+    """Duplicated-span removal (r6, the trim stage of the Lee et al.
+    pipeline, aggressive variant): every duplicated k-gram span is cut
+    from every document, survivors re-joined with single spaces.  The
+    oracle skips the islands merge on purpose — with min_span=None the
+    union of merged spans equals the union of raw [pos, pos+k) hit
+    intervals, so it derives covered token indices directly from the
+    hits and anti-joins the token positions."""
+    from military_entity_extraction_based_on_large_models_spark.operators.substrdup import (
+        remove_duplicate_spans,
+    )
+
+    return remove_duplicate_spans(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_media_features_png(spark, sf_dir):
     """REAL PNG decode (r6 — VERDICT r5 "missing" #1, PNG half): per-document
     synthetic PNGs (genuine spec-conformant files — chunk CRCs, zlib IDAT,
@@ -4591,6 +4606,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_png": q_media_features_png,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_dup_stats": q_doc_dup_stats,
+        "doc_dup_trim": q_doc_dup_trim,
     }
 
 
@@ -4797,6 +4813,39 @@ def retired_oracle_sql() -> dict[str, str]:
                         THEN coalesce(per.dup_tokens, 0) * 1000000 // len(t.toks)
                         ELSE 0 END AS BIGINT) AS dup_micro
             FROM t LEFT JOIN per USING (doc_id)
+        """,
+        # trim variant: with min_span=None the union of merged spans ==
+        # the union of raw hit intervals, so covered indices come straight
+        # from hits (no islands needed) and kept tokens anti-join them
+        "doc_dup_trim": f"""
+            WITH t AS (
+              SELECT doc_id, {_WS_TOKS} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, CAST(u.x AS BIGINT) AS pos,
+                     array_to_string(toks[u.x + 1 : u.x + 3], ' ') AS gram
+              FROM t, UNNEST(range(0, GREATEST(len(toks) - 2, 0))) AS u(x)
+            ), dupg AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+            ), hits AS (
+              SELECT doc_id, pos, pos + 3 AS e FROM g JOIN dupg USING (gram)
+            ), cov AS (
+              SELECT DISTINCT doc_id, CAST(u2.y AS BIGINT) AS idx
+              FROM hits, UNNEST(range(pos, e)) AS u2(y)
+            ), tok AS (
+              SELECT doc_id, CAST(u.x AS BIGINT) AS idx, toks[u.x + 1] AS tk
+              FROM t, UNNEST(range(0, len(toks))) AS u(x)
+            ), kept AS (
+              SELECT tok.doc_id, tok.idx, tok.tk
+              FROM tok ANTI JOIN cov USING (doc_id, idx)
+            )
+            SELECT t.doc_id,
+                   coalesce((SELECT string_agg(k.tk, ' ' ORDER BY k.idx)
+                             FROM kept k WHERE k.doc_id = t.doc_id), '')
+                     AS clean_text,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST((SELECT count(*) FROM kept k
+                         WHERE k.doc_id = t.doc_id) AS BIGINT) AS kept_tokens
+            FROM t
         """,
         # REAL PNG decode (r6): the same closed-form pixel oracle as
         # media_features_real — identical pixel content flows through a

@@ -169,3 +169,62 @@ def duplicate_span_stats(
         .cast("bigint")
         .alias("dup_micro"),
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_span: int | None = None,
+) -> DataFrame:
+    """Cut duplicated spans out of every document →
+    ``(doc_id, clean_text, n_tokens, kept_tokens)``.
+
+    The trim stage of Lee et al.'s pipeline, in its AGGRESSIVE variant:
+    every span from :func:`duplicate_spans` of at least ``min_span``
+    tokens (default k — all spans) is removed from EVERY document
+    containing it, and the survivors are re-joined with single spaces.
+    Lee et al. keep one copy per duplicate cluster; that needs a global
+    choice of canonical occurrence (an extra CC-style pass over span
+    overlap — compose with canonicalize if needed).  Removing all copies
+    is the deliberately simpler contract stated here: correct for
+    boilerplate/license stripping, lossy for content that exists ONLY as
+    duplicates.  Documents whose every token is duplicated come back with
+    empty ``clean_text`` rather than vanishing.
+
+    Scale shape: duplicate_spans' plan, plus one per-doc span collect
+    (bounded: ≤ n_tokens/k spans per doc), a broadcast-free join back to
+    the token arrays, and a pure-codegen filter-by-position rebuild —
+    no Python in the row path.
+    """
+    if min_span is not None and min_span < k:
+        raise ValueError("min_span must be >= k")
+    spans = duplicate_spans(docs, id_col, text_col, k)
+    if min_span is not None:
+        spans = spans.where(
+            F.col("span_end") - F.col("span_start") >= min_span
+        )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t")
+    )
+    joined = base.join(per_doc, "doc_id", "left")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (s["span_start"] <= i) & (i < s["span_end"]),
+    )
+    kept = F.when(F.col("_spans").isNull(), F.col("_t")).otherwise(
+        F.filter(
+            F.col("_t"),
+            lambda t, i: ~covered(i.cast("bigint")),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("kept_tokens"),
+    )

@@ -131,3 +131,58 @@ def test_plan_shape(spark):
     # ONE partitioning+sort — no extra exchange between them
     assert plan.count("Window") == 2
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+class TestRemoveDuplicateSpans:
+    def test_hand_fixture(self, spark):
+        from military_entity_extraction_based_on_large_models_spark.operators.substrdup import (
+            remove_duplicate_spans,
+        )
+
+        rows = [
+            (1, "a b c d e f g h"),
+            (2, "x y c d e z w"),
+            (3, "a b c d e f q r a b c d e f q r"),
+            (4, "unique only here"),
+            (5, ""),
+        ]
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_tokens"], r["kept_tokens"])
+            for r in remove_duplicate_spans(_df(spark, rows), k=3).collect()
+        }
+        assert got[1] == ("g h", 8, 2)
+        assert got[2] == ("x y z w", 7, 4)
+        assert got[3] == ("", 16, 0)       # fully duplicated -> empty, kept
+        assert got[4] == ("unique only here", 3, 3)
+        assert got[5] == ("", 0, 0)
+
+    def test_min_span_keeps_short_duplicates(self, spark):
+        from military_entity_extraction_based_on_large_models_spark.operators.substrdup import (
+            remove_duplicate_spans,
+        )
+
+        # 'c d e' (3 tokens) duplicated; min_span=4 spares it
+        rows = [(1, "a b c d e f"), (2, "x c d e y")]
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in remove_duplicate_spans(
+                _df(spark, rows), k=3, min_span=4
+            ).collect()
+        }
+        assert got == {1: "a b c d e f", 2: "x c d e y"}
+        with pytest.raises(ValueError):
+            remove_duplicate_spans(_df(spark, rows), k=3, min_span=2)
+
+    def test_idempotent_on_clean_corpus(self, spark):
+        from military_entity_extraction_based_on_large_models_spark.operators.substrdup import (
+            remove_duplicate_spans,
+        )
+
+        rows = [(1, "p q r s t"), (2, "p q r u v")]
+        once = remove_duplicate_spans(_df(spark, rows), k=3)
+        rows2 = [(r["doc_id"], r["clean_text"]) for r in once.collect()]
+        twice = {
+            r["doc_id"]: r["clean_text"]
+            for r in remove_duplicate_spans(_df(spark, rows2), k=3).collect()
+        }
+        assert twice == {i: t for i, t in rows2}
