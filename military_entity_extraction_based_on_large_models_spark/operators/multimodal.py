@@ -4,12 +4,12 @@ The reference pairs each document with a ``{doc_id}.jpg`` on disk and runs a
 VLM per entity (ImageEntityExtractor.py:23-83); image bytes never enter its
 data model.  Here media are first-class: an opaque ``binary`` column plus a
 typed metadata struct, processed by ``mapInPandas`` stages whose Spark-side
-plumbing (schema, batching, partitioning) is real.  Decode is REAL for BMP
-(r4) and PNG (r6) — complete dependency-free implementations below — and
-dispatched through ``decode_image``; JPEG is the one genuinely
-environment-blocked format (entropy-coded DCT needs a codec library this
-container does not ship), raising an honest error per row.  The legacy
-``_fake_decode`` sha-derived stand-in remains only for the retired
+plumbing (schema, batching, partitioning) is real.  Decode is REAL for all
+three reference-relevant formats — BMP (r4) and PNG (r6) below, baseline
+JPEG (r6) in operators/jpeg.py — dispatched through ``decode_image``; the
+formats the reference corpus actually uses (.jpg,
+ImageEntityExtractor.py:23-83) decode with no codec library at all.  The
+legacy ``_fake_decode`` sha-derived stand-in remains only for the retired
 media_features surface.
 
 Scale notes: binary payloads make rows wide — the stage repartitions by a
@@ -494,19 +494,21 @@ def decode_png(payload: bytes):
 
 
 def decode_image(payload: bytes):
-    """Magic-byte dispatch over the REAL decoders: BMP and PNG decode for
-    real; JPEG raises the honest environment-blocked error (entropy-coded
-    DCT needs a codec library this container does not ship); anything else
-    is an unknown format.  The single swap-in point for production codecs."""
+    """Magic-byte dispatch over the REAL decoders: BMP (r4), PNG (r6), and
+    baseline JPEG (r6 — operators/jpeg.py, closing the last format gap;
+    progressive/arithmetic variants raise inside decode_jpeg); anything
+    else is an unknown format.  The single swap-in point for production
+    codecs (libjpeg-turbo et al.) — nothing downstream changes."""
     if len(payload) >= 2 and payload[:2] == b"BM":
         return decode_bmp(payload)
     if len(payload) >= 8 and payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if len(payload) >= 3 and payload[:3] == b"\xff\xd8\xff":
-        raise ValueError(
-            "JPEG decode requires codec libs (environment-blocked; "
-            "swap decode_image's JPEG branch for PIL/libjpeg in production)"
+        from military_entity_extraction_based_on_large_models_spark.operators.jpeg import (
+            decode_jpeg,
         )
+
+        return decode_jpeg(payload)
     raise ValueError("unknown image format")
 
 
@@ -525,6 +527,53 @@ def synthetic_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 seed = int(mid)
                 w, h = 4 + seed % 13, 4 + seed % 11
                 payloads.append(encode_png(synthetic_bmp_pixels(seed, w, h)))
+            yield pd.DataFrame({"media_id": ids.astype(str), "payload": payloads})
+
+    from ..plans.parallelism import scale_out
+
+    narrow = scale_out(docs.select(F.col(id_col).cast("string").alias("media_id")))
+    return narrow.mapInPandas(
+        run,
+        schema=StructType(
+            [
+                StructField("media_id", StringType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthetic_jpeg_tiles(seed: int):
+    """Deterministic 8×8-tiled grayscale image: tile (tx, ty) has constant
+    value ``(seed·31 + 7·tx + 13·ty) mod 256``; dims 8·(1 + seed mod 4) ×
+    8·(1 + seed mod 3).  Constant blocks have only a DC coefficient, and
+    with the DC quant entry 8 the JPEG round-trip is EXACT (jpeg.py module
+    docstring) — so the decoded features are closed-form in SQL from
+    (seed, tiles) alone, the synthetic_bmp_pixels convention."""
+    import numpy as np
+
+    tx = np.arange(1 + seed % 4, dtype=np.int64) * 7
+    ty = np.arange(1 + seed % 3, dtype=np.int64) * 13
+    tiles = ((seed * 31 + ty[:, None] + tx[None, :]) % 256).astype(np.uint8)
+    return np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+
+
+def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) frame of real baseline JPEG bytes synthesized per
+    document — genuine SOI/DQT/SOF0/DHT/SOS/EOI streams with per-image
+    canonical Huffman tables, decoding bit-exactly by construction."""
+    from military_entity_extraction_based_on_large_models_spark.operators.jpeg import (
+        EXACT_QUANT,
+        encode_jpeg,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = [
+                encode_jpeg(synthetic_jpeg_tiles(int(mid)), quant_luma=EXACT_QUANT)
+                for mid in ids
+            ]
             yield pd.DataFrame({"media_id": ids.astype(str), "payload": payloads})
 
     from ..plans.parallelism import scale_out
