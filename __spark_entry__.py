@@ -2132,7 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": q_cube_counts,
         "multi_entity_docs": q_multi_entity_docs,
         "backend_fallback": q_backend_fallback,
-        "media_features_real": q_media_features_real,
+        "media_features_jpeg": q_media_features_jpeg,
         "prompt_assembly": q_prompt_assembly,
         "neardup_keep_list": q_neardup_keep_list,
         "judge_sample_accuracy": q_judge_sample_accuracy,
@@ -3170,33 +3170,32 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
-        # REAL BMP decode verified in closed form: pixel(x,y,c) of the
-        # synthetic image is (doc_id*31 + 7x + 13y + 101c) mod 256, so every
-        # stat is recomputable from (doc_id, w, h) alone; n_bytes replays the
-        # BMP size formula (54-byte headers + 4-byte-padded rows).  The grand
-        # mean divides an exact integer sum once on both engines, so the
-        # fixed-6dp strings agree bit-for-bit.
-        "media_features_real": """
+        # REAL baseline JPEG decode (r6): 8x8-tiled constant grayscale
+        # images round-trip BIT-EXACTLY (DC-only blocks, quant DC entry 8 —
+        # jpeg.py docstring), so the decoded stats are closed-form from
+        # (seed, tile grid); grayscale => px00_r/g/b all equal tile(0,0)
+        # and the mean divides the exact integer sum once on both engines
+        "media_features_jpeg": """
             WITH p AS (
               SELECT CAST(doc_id AS VARCHAR) AS media_id, doc_id AS seed,
-                     4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+                     1 + doc_id % 4 AS ntx, 1 + doc_id % 3 AS nty
               FROM documents
             ), s AS (
-              SELECT media_id, seed, w, h,
-                     list_sum(flatten(flatten(
-                       list_transform(range(0, h), y ->
-                         list_transform(range(0, w), x ->
-                           list_transform(range(0, 3), c ->
-                             (seed*31 + 7*x + 13*y + 101*c) % 256)))))) AS total
+              SELECT media_id, seed, ntx, nty,
+                     64 * list_sum(flatten(
+                       list_transform(range(0, nty), ty ->
+                         list_transform(range(0, ntx), tx ->
+                           (seed*31 + 7*tx + 13*ty) % 256)))) AS total
               FROM p
             )
             SELECT media_id,
-                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-                   CAST(54 + h * (((w*3 + 3) // 4) * 4) AS INT) AS n_bytes,
+                   CAST(8 * ntx AS INT) AS width,
+                   CAST(8 * nty AS INT) AS height,
                    CAST((seed*31) % 256 AS INT) AS px00_r,
-                   CAST((seed*31 + 101) % 256 AS INT) AS px00_g,
-                   CAST((seed*31 + 202) % 256 AS INT) AS px00_b,
-                   printf('%.6f', CAST(total AS DOUBLE) / (w * h * 3)) AS mean_all
+                   CAST((seed*31) % 256 AS INT) AS px00_g,
+                   CAST((seed*31) % 256 AS INT) AS px00_b,
+                   printf('%.6f', CAST(total AS DOUBLE) / (64 * ntx * nty))
+                     AS mean_all
             FROM s
         """,
         "reflect_retry": f"""
@@ -4628,7 +4627,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_profile": q_orders_profile,
         "events_outliers": q_events_outliers,
         "media_features_png": q_media_features_png,
-        "media_features_jpeg": q_media_features_jpeg,
+        "media_features_real": q_media_features_real,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_dup_stats": q_doc_dup_stats,
         "doc_dup_trim": q_doc_dup_trim,
@@ -4839,6 +4838,35 @@ def retired_oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS BIGINT) AS dup_micro
             FROM t LEFT JOIN per USING (doc_id)
         """,
+        # REAL BMP decode verified in closed form: pixel(x,y,c) of the
+        # synthetic image is (doc_id*31 + 7x + 13y + 101c) mod 256, so every
+        # stat is recomputable from (doc_id, w, h) alone; n_bytes replays the
+        # BMP size formula (54-byte headers + 4-byte-padded rows).  The grand
+        # mean divides an exact integer sum once on both engines, so the
+        # fixed-6dp strings agree bit-for-bit.
+        "media_features_real": """
+            WITH p AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id, doc_id AS seed,
+                     4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+              FROM documents
+            ), s AS (
+              SELECT media_id, seed, w, h,
+                     list_sum(flatten(flatten(
+                       list_transform(range(0, h), y ->
+                         list_transform(range(0, w), x ->
+                           list_transform(range(0, 3), c ->
+                             (seed*31 + 7*x + 13*y + 101*c) % 256)))))) AS total
+              FROM p
+            )
+            SELECT media_id,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(54 + h * (((w*3 + 3) // 4) * 4) AS INT) AS n_bytes,
+                   CAST((seed*31) % 256 AS INT) AS px00_r,
+                   CAST((seed*31 + 101) % 256 AS INT) AS px00_g,
+                   CAST((seed*31 + 202) % 256 AS INT) AS px00_b,
+                   printf('%.6f', CAST(total AS DOUBLE) / (w * h * 3)) AS mean_all
+            FROM s
+        """,
         # trim variant: with min_span=None the union of merged spans ==
         # the union of raw hit intervals, so covered indices come straight
         # from hits (no islands needed) and kept tokens anti-join them
@@ -4871,34 +4899,6 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST((SELECT count(*) FROM kept k
                          WHERE k.doc_id = t.doc_id) AS BIGINT) AS kept_tokens
             FROM t
-        """,
-        # REAL baseline JPEG decode (r6): 8x8-tiled constant grayscale
-        # images round-trip BIT-EXACTLY (DC-only blocks, quant DC entry 8 —
-        # jpeg.py docstring), so the decoded stats are closed-form from
-        # (seed, tile grid); grayscale => px00_r/g/b all equal tile(0,0)
-        # and the mean divides the exact integer sum once on both engines
-        "media_features_jpeg": """
-            WITH p AS (
-              SELECT CAST(doc_id AS VARCHAR) AS media_id, doc_id AS seed,
-                     1 + doc_id % 4 AS ntx, 1 + doc_id % 3 AS nty
-              FROM documents
-            ), s AS (
-              SELECT media_id, seed, ntx, nty,
-                     64 * list_sum(flatten(
-                       list_transform(range(0, nty), ty ->
-                         list_transform(range(0, ntx), tx ->
-                           (seed*31 + 7*tx + 13*ty) % 256)))) AS total
-              FROM p
-            )
-            SELECT media_id,
-                   CAST(8 * ntx AS INT) AS width,
-                   CAST(8 * nty AS INT) AS height,
-                   CAST((seed*31) % 256 AS INT) AS px00_r,
-                   CAST((seed*31) % 256 AS INT) AS px00_g,
-                   CAST((seed*31) % 256 AS INT) AS px00_b,
-                   printf('%.6f', CAST(total AS DOUBLE) / (64 * ntx * nty))
-                     AS mean_all
-            FROM s
         """,
         # REAL PNG decode (r6): the same closed-form pixel oracle as
         # media_features_real — identical pixel content flows through a
