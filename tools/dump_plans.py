@@ -55,6 +55,14 @@ def _setsim_section(d):
     return setsim_join(sets, id_col="doc_id", t_num=1, t_den=2)
 
 
+def _substrdup_section(d):
+    from military_entity_extraction_based_on_large_models_spark.operators.substrdup import (
+        duplicate_spans,
+    )
+
+    return duplicate_spans(d.select("doc_id", "text"), k=3)
+
+
 def _scd2_snapshot_section(ev):
     from military_entity_extraction_based_on_large_models_spark.operators.cdc import (
         latest_snapshot,
@@ -262,6 +270,16 @@ def build_sections(spark):
             "Gate: tests/test_setsim.py::TestPlan::test_no_cartesian + "
             "seeded brute-force equality at 4 thresholds.",
             _setsim_section(d),
+        ),
+        (
+            "Substring-duplication spans (k-gram form)",
+            "Claim: one explode + ONE gram-count aggregate (map-side "
+            "partial) + one equi join of positions against the duplicated "
+            "gram set (never cartesian) + the islands Window PAIR sharing a "
+            "single (doc, pos) sort — nothing quadratic anywhere.  "
+            "Gate: tests/test_substrdup.py::test_plan_shape + seeded "
+            "brute-force equality at 3 k values.",
+            _substrdup_section(d),
         ),
         (
             "SCD2 latest snapshot (algebraic route)",
