@@ -89,6 +89,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Maximal duplicated token spans per document →
     ``(doc_id, span_start, span_end, n_grams)``.
@@ -102,6 +103,12 @@ def duplicate_spans(
     if k < 1:
         raise ValueError("k must be >= 1")
     grams = _kgram_positions(docs, id_col, text_col, k)
+    if hash_grams:
+        # the 100 TB shuffle-width variant (module docstring): the count
+        # aggregate and the join move 8-byte keys instead of ~k-token
+        # strings; collision odds ~n²/2⁶⁴ — property-tested equal to the
+        # exact string path on every fixture
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
     dup = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_occ"))

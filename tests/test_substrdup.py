@@ -186,3 +186,20 @@ class TestRemoveDuplicateSpans:
             for r in remove_duplicate_spans(_df(spark, rows2), k=3).collect()
         }
         assert twice == {i: t for i, t in rows2}
+
+
+def test_hash_grams_variant_matches_string_path(spark):
+    """The 100 TB shuffle-width swap (xxhash64 gram keys) must be
+    result-identical to the exact string path on real-shaped data."""
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(30)
+    ]
+    plain = _spark_spans(spark, rows, 3)
+    hashed = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in duplicate_spans(_df(spark, rows), k=3, hash_grams=True).collect()
+    }
+    assert hashed == plain
