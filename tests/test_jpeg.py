@@ -125,3 +125,33 @@ def test_real_world_libjpeg_file_conformance():
     assert px.shape[0] > 50 and px.shape[1] > 50
     # a photograph: non-degenerate dynamic range
     assert int(px.max()) - int(px.min()) > 50
+
+
+def test_png_jpeg_property_roundtrips():
+    """Hypothesis sweep: arbitrary small images round-trip losslessly
+    through PNG and within the q=1 bound through JPEG."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from military_entity_extraction_based_on_large_models_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        ch=st.sampled_from([1, 3]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def run(h, w, ch, seed):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+        assert (decode_png(encode_png(px)) == px).all()
+        got = decode_jpeg(encode_jpeg(px, quant_luma=ONES, quant_chroma=ONES))
+        assert got.shape == (h, w, ch if ch == 3 else 1)
+        tol = 3 if ch == 3 else 1  # color-transform rounding vs none
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= tol
+
+    run()
