@@ -1723,6 +1723,37 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank(edges, n_iters=5).withColumnRenamed("node", "entity")
 
 
+PPR_SEEDS = ["ent_spark", "ent_stream"]
+
+
+def q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank — "entities most related to the seed set"
+    (random walk with restart, Haveliwala 2002) over the same symmetrized
+    co-occurrence graph as kg_pagerank.  Seeds inline as plan literals (no
+    join); mass starts and restarts only at seeds, so BIGINT headroom is
+    bounded by |seeds|·base up front with NO counting job.  Same integer
+    determinism: the relatedness vector is bit-identical at any
+    parallelism, and the oracle replays the identical iterations as
+    chained CTEs (personalized_pagerank_sql).  Unreachable entities rank
+    exactly 0."""
+    from military_entity_extraction_based_on_large_models_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    t = _kg_base(spark, sf_dir)
+    e = (
+        t.where(F.col("pred") == "co_occurs_with")
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .distinct()
+    )
+    edges = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return personalized_pagerank(edges, PPR_SEEDS, n_iters=5).withColumnRenamed(
+        "node", "entity"
+    )
+
+
 def q_kg_communities(spark, sf_dir):
     """Entity community detection (operators/labelprop): deterministic
     SYNCHRONOUS label propagation over the symmetrized co-occurrence
@@ -2438,6 +2469,33 @@ def _kg_pagerank_sql() -> str:
         "SELECT node AS entity, rank_fixed, rank FROM ("
         + pagerank_sql(edges, n_iters=5)
         + ") pr_final"
+    )
+
+
+def _kg_ppr_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.pagerank import (
+        personalized_pagerank_sql,
+    )
+
+    edges = f"""
+        WITH ment AS (
+          SELECT DISTINCT d.doc_id, g.canonical
+          FROM documents d JOIN {GAZ_SQL}
+            ON position(g.alias IN d.text) > 0
+          WHERE g.label <> 'location'
+        ), co AS (
+          SELECT DISTINCT a.canonical AS a, b.canonical AS b
+          FROM ment a JOIN ment b
+            ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+        )
+        SELECT a AS src, b AS dst FROM co
+        UNION ALL
+        SELECT b AS src, a AS dst FROM co
+    """
+    return (
+        "SELECT node AS entity, rank_fixed, rank FROM ("
+        + personalized_pagerank_sql(edges, PPR_SEEDS, n_iters=5)
+        + ") ppr_final"
     )
 
 
@@ -4622,6 +4680,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_centrality": q_repo_centrality,
         "kg_predicate_profile": q_kg_predicate_profile,
         "kg_communities": q_kg_communities,
+        "kg_ppr": q_kg_ppr,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "events_coverage": q_events_coverage,
         "orders_profile": q_orders_profile,
@@ -5219,6 +5278,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "repo_centrality": _repo_centrality_sql(),
         "kg_predicate_profile": _KG_PREDICATE_PROFILE_SQL,
         "kg_communities": _kg_communities_sql(),
+        "kg_ppr": _kg_ppr_sql(),
         "dedup_incremental_verified": """
             WITH toks AS (
               SELECT doc_id,

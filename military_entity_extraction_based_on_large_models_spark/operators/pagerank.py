@@ -157,3 +157,123 @@ def pagerank_sql(
         FROM pr_r{n_iters}
     """
     return ",\n".join(parts) + final
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    n_iters: int = 5,
+    base: int = BASE,
+    d_num: int = D_NUM,
+    d_den: int = D_DEN,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Personalized PageRank — relatedness to a SEED SET, the "entities
+    most related to X" KG query (random walk with restart, Haveliwala
+    2002), with the same integer determinism as :func:`pagerank`.
+
+    ``seeds`` is a small literal list of node values (typical use: one or
+    a few query entities — it inlines into the plan, no join).  Each seed
+    starts with ``base`` units of mass and is the only restart target:
+    ``r₀(v) = base·[v ∈ S]``, then ``r(v) = teleport·[v ∈ S] +
+    (d_num · Σ_in r/deg) DIV d_den`` — every quantity BIGINT, every
+    division integer, so the relatedness vector is bit-identical at any
+    parallelism and replays exactly in SQL (:func:`personalized_pagerank_sql`).
+    Total mass never exceeds ``|S|·base``, so BIGINT headroom depends on
+    the SEED count, not the graph: checked up front, no counting job
+    needed.  Plan shape identical to pagerank: one dst-grouped shuffle
+    per iteration.  Nodes unreachable from the seeds rank 0.
+    """
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    if d_num * len(seeds) * base >= 2**63:
+        raise ValueError(
+            f"d_num*|seeds|*base = {d_num}*{len(seeds)}*{base} overflows "
+            "BIGINT; lower base"
+        )
+    teleport = ((d_den - d_num) * base) // d_den
+    seed_list = list(seeds)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    is_seed = F.col("node").isin(seed_list)
+    ranks = deg.withColumn(
+        "r", F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast("long")
+    )
+    for it in range(n_iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(F.col("dst").alias("node"), F.expr("r DIV degree").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            deg.join(contribs, "node", "left")
+            .select(
+                "node",
+                "degree",
+                (
+                    F.when(is_seed, F.lit(teleport)).otherwise(F.lit(0))
+                    + F.expr(f"({d_num} * coalesce(inc, 0L)) DIV {d_den}")
+                ).cast("long").alias("r"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < n_iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_fixed"),
+        F.round(F.col("r").cast("double") / F.lit(float(base)), 6).alias("rank"),
+    )
+
+
+def personalized_pagerank_sql(
+    edges_sql: str,
+    seeds: list,
+    n_iters: int = 5,
+    base: int = BASE,
+    d_num: int = D_NUM,
+    d_den: int = D_DEN,
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank`: identical integer
+    iterations unrolled as chained CTEs; seed values inline as literals
+    (strings single-quote-escaped)."""
+    teleport = ((d_den - d_num) * base) // d_den
+
+    def lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(int(v))
+
+    seed_in = "(" + ", ".join(lit(v) for v in seeds) + ")"
+    parts = [
+        f"WITH pr_edges AS ({edges_sql})",
+        """pr_deg AS (
+          SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+          FROM pr_edges GROUP BY src
+        )""",
+        f"""pr_r0 AS (
+          SELECT node, degree,
+                 CAST(CASE WHEN node IN {seed_in} THEN {base} ELSE 0 END
+                      AS BIGINT) AS r
+          FROM pr_deg
+        )""",
+    ]
+    for it in range(n_iters):
+        parts.append(f"""pr_r{it + 1} AS (
+          SELECT d.node, d.degree,
+                 CAST(CASE WHEN d.node IN {seed_in} THEN {teleport} ELSE 0 END
+                      + ({d_num} * COALESCE(i.inc, 0)) // {d_den}
+                      AS BIGINT) AS r
+          FROM pr_deg d LEFT JOIN (
+            SELECT e.dst AS node, CAST(sum(r.r // r.degree) AS BIGINT) AS inc
+            FROM pr_edges e JOIN pr_r{it} r ON r.node = e.src
+            GROUP BY e.dst
+          ) i ON i.node = d.node
+        )""")
+    final = f"""
+        SELECT node, r AS rank_fixed,
+               round(CAST(r AS DOUBLE) / {float(base)}, 6) AS rank
+        FROM pr_r{n_iters}
+    """
+    return ",\n".join(parts) + final

@@ -12,6 +12,8 @@ from military_entity_extraction_based_on_large_models_spark.operators.pagerank i
     BASE,
     pagerank,
     pagerank_sql,
+    personalized_pagerank,
+    personalized_pagerank_sql,
 )
 
 
@@ -113,3 +115,114 @@ def test_pagerank_headroom_enforced(spark):
     # the suggested scale passes and stays bit-deterministic
     got = {r["node"]: r["rank_fixed"] for r in pagerank(df, 1, base=10**17).collect()}
     assert got == _replay([(1, 2), (2, 3), (3, 1)], 1, base=10**17)
+
+
+# ---------------------------------------------------------------- PPR
+
+
+def _replay_ppr(edges, seeds, n_iters, base=BASE, d_num=17, d_den=20):
+    """Pure-python integer replay of the personalized iterations."""
+    deg: dict[str, int] = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    seed_set = set(seeds)
+    r = {n: (base if n in seed_set else 0) for n in deg}
+    tel = ((d_den - d_num) * base) // d_den
+    for _ in range(n_iters):
+        inc: dict[str, int] = defaultdict(int)
+        for s, d in edges:
+            inc[d] += r[s] // deg[s]
+        r = {
+            n: (tel if n in seed_set else 0) + (d_num * inc[n]) // d_den
+            for n in deg
+        }
+    return r
+
+
+def test_ppr_matches_python_replay(spark):
+    edges = _sym(PAIRS)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_fixed"]
+        for r in personalized_pagerank(df, ["h"], n_iters=5).collect()
+    }
+    assert got == _replay_ppr(edges, ["h"], 5)
+    # the (x, y) component is unreachable from the seed: rank exactly 0
+    assert got["x"] == 0 and got["y"] == 0
+    # the seed's direct neighbors outrank the two-hop node d
+    assert min(got["a"], got["b"], got["c"]) > got["d"] > 0
+
+
+def test_ppr_parallelism_invariant(spark):
+    pairs = []
+    for i in range(1, 400):
+        for t in {i % 7, i % 13, i - 1} - {i}:
+            pairs.append((f"n{i}", f"n{t}"))
+    edges = _sym(pairs)
+    seeds = ["n3", "n250"]
+    df1 = spark.createDataFrame(edges, ["src", "dst"])
+    r1 = {
+        r["node"]: r["rank_fixed"]
+        for r in personalized_pagerank(df1, seeds, n_iters=6).collect()
+    }
+    r2 = {
+        r["node"]: r["rank_fixed"]
+        for r in personalized_pagerank(
+            df1.repartition(17), seeds, n_iters=6
+        ).collect()
+    }
+    assert r1 == r2 == _replay_ppr(edges, seeds, 6)
+    # total mass bounded by |seeds|·base (truncation only loses)
+    assert 0 < sum(r1.values()) <= len(seeds) * BASE
+
+
+def test_ppr_sql_twin_bit_identical(spark):
+    edges = _sym(PAIRS)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = (
+        personalized_pagerank(df, ["h", "x"], n_iters=5)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e_in", pd.DataFrame(edges, columns=["src", "dst"]))
+    sql = (
+        personalized_pagerank_sql("SELECT src, dst FROM e_in", ["h", "x"], n_iters=5)
+        + " ORDER BY node"
+    )
+    want = con.execute(sql).df()
+    assert list(got["rank_fixed"]) == list(want["rank_fixed"])
+    assert list(got["rank"]) == list(want["rank"])
+
+
+def test_ppr_seed_quote_escaping(spark):
+    # a seed value containing a single quote must round-trip the SQL twin
+    edges = [("o'hare", "b"), ("b", "o'hare"), ("b", "c"), ("c", "b")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = (
+        personalized_pagerank(df, ["o'hare"], n_iters=3)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e_in", pd.DataFrame(edges, columns=["src", "dst"]))
+    sql = (
+        personalized_pagerank_sql("SELECT src, dst FROM e_in", ["o'hare"], n_iters=3)
+        + " ORDER BY node"
+    )
+    want = con.execute(sql).df()
+    assert list(got["rank_fixed"]) == list(want["rank_fixed"])
+
+
+def test_ppr_guards(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    with pytest.raises(ValueError, match="non-empty"):
+        personalized_pagerank(df, [])
+    # headroom depends on |seeds|, not graph size: 2 seeds at base=1e18
+    # overflows 2^63 and must raise BEFORE any job runs
+    with pytest.raises(ValueError, match="overflows BIGINT"):
+        personalized_pagerank(df, ["a", "b"], base=10**18)
