@@ -1030,6 +1030,30 @@ def q_repo_pagerank(spark, sf_dir):
     return pagerank(edges, n_iters=5).withColumnRenamed("node", "repo")
 
 
+def q_repo_link_pred(spark, sf_dir):
+    """Node similarity / link prediction over the repo dependency graph
+    (operators/linkpred): every unordered repo pair with a common
+    neighbor, scored by common-neighbor count, the integer-exact
+    resource-allocation index (fixed-point ``base DIV deg``), and
+    fixed-point Jaccard — ``is_edge = false`` rows are the predicted
+    missing dependencies, ``true`` rows rank existing ones by
+    neighborhood support.  One wedge self-join keyed on the center node
+    (Σ deg² — ``max_degree`` hub cap available at scale), one pair
+    aggregate, node-keyed deg joins on the aggregated frame only."""
+    from military_entity_extraction_based_on_large_models_spark.operators.linkpred import (
+        node_similarity,
+    )
+
+    docs, owners = _codegraph_docs_owners(spark, sf_dir)
+    dep = repo_dependency_edges(extract_import_edges(docs), owners).select(
+        F.col("src_repo").alias("src"), F.col("dst_repo").alias("dst")
+    )
+    edges = dep.unionByName(
+        dep.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return node_similarity(edges)
+
+
 def q_multi_entity_docs(spark, sf_dir):
     """A6 (数据集/test.py:8-11): count documents with more than one distinct
     extracted entity."""
@@ -2443,6 +2467,27 @@ def _repo_pagerank_sql() -> str:
         + pagerank_sql(edges, n_iters=5)
         + ") pr_final"
     )
+
+
+def _repo_link_pred_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.linkpred import (
+        node_similarity_sql,
+    )
+
+    edges = (
+        _CODEGRAPH_SQL_PREFIX
+        + """
+            , dep AS (
+              SELECT DISTINCT n.source AS a, o.repo AS b
+              FROM norm n JOIN owners o ON n.module = o.module
+              WHERE n.source <> o.repo
+            )
+            SELECT a AS src, b AS dst FROM dep
+            UNION
+            SELECT b AS src, a AS dst FROM dep
+        """
+    )
+    return node_similarity_sql(edges)
 
 
 def _kg_pagerank_sql() -> str:
@@ -4681,6 +4726,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_profile": q_kg_predicate_profile,
         "kg_communities": q_kg_communities,
         "kg_ppr": q_kg_ppr,
+        "repo_link_pred": q_repo_link_pred,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "events_coverage": q_events_coverage,
         "orders_profile": q_orders_profile,
@@ -5279,6 +5325,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "kg_predicate_profile": _KG_PREDICATE_PROFILE_SQL,
         "kg_communities": _kg_communities_sql(),
         "kg_ppr": _kg_ppr_sql(),
+        "repo_link_pred": _repo_link_pred_sql(),
         "dedup_incremental_verified": """
             WITH toks AS (
               SELECT doc_id,
