@@ -7,23 +7,41 @@ reference's images are JPEGs, ImageEntityExtractor.py:23-83,
 of any missing primitive: the format is Huffman coding (pure bit
 arithmetic), an 8×8 DCT (one numpy matrix product), and a color
 transform.  This module implements ITU-T T.81 BASELINE SEQUENTIAL
-(SOF0):
+(SOF0) and PROGRESSIVE (SOF2):
 
-* decoder: marker walk (DQT / SOF0 / DHT / DRI / SOS), table-driven
+* decoder: marker walk (DQT / SOF / DHT / DRI / SOS), table-driven
   canonical Huffman decode with 0xFF00 unstuffing and RSTn restart
   handling, DC DPCM prediction, AC run-length (ZRL/EOB), dequantize,
   dezigzag, orthonormal IDCT (``C.T @ coef @ C``), general h/v sampling
   factors in {1, 2} with replication upsampling, BT.601 YCbCr→RGB for
   3-component scans, grayscale passthrough for 1-component; progressive
-  (SOF2), arithmetic coding, 12-bit precision, and >2 sampling factors
-  raise ValueError — honest unsupported variants, the decode_bmp/png
-  stance;
+  decoding (T.81 G.2 / the jdphuff.c control flow) accumulates every
+  scan — spectral selection, successive approximation, DC first/refine,
+  AC first with EOB run-lengths, AC refinement with correction bits,
+  per-scan DHT redefinition, restarts inside any scan — into
+  per-component coefficient arrays and reconstructs at EOI; arithmetic
+  coding, hierarchical/lossless SOFs, 12-bit precision, and >2 sampling
+  factors raise ValueError — honest unsupported variants, the
+  decode_bmp/png stance;
 * encoder (test-fixture generator, like encode_bmp/encode_png): 4:4:4 or
   4:2:0, edge-replication padding, per-image CANONICAL Huffman tables
   built from the actual symbol frequencies (embedded via DHT — so the
   decoder's table parsing is exercised with non-Annex-K tables; the
   libjpeg virtual-symbol trick keeps the reserved all-ones code unused),
-  custom quantization tables.
+  custom quantization tables; ``progressive=True`` emits a libjpeg-style
+  scan script (G.1.2 / jcphuff.c) over the SAME quantized coefficients.
+
+Progressive correctness gate: all 500 reference-corpus JPEGs are
+baseline, so no real progressive file exists in this environment; the
+honest cross-check is that progressive is a LOSSLESS re-arrangement of
+the sequential path's quantized coefficients — decode(progressive
+encode) must equal decode(baseline encode) BIT-FOR-BIT on arbitrary
+images (hypothesis-swept), and the sequential decoder is independently
+conformance-pinned against a real libjpeg file.  A shared encoder/
+decoder misunderstanding would still have to survive the refinement
+scans reconstructing exact coefficients across successive-approximation
+levels, which pins the point-transform conventions (DC arithmetic
+shift, AC truncate-toward-zero).
 
 Exactness contract for the oracle path: a block that is CONSTANT has
 only a DC coefficient, ``8·(v−128)`` under the orthonormal scaling; with
@@ -332,13 +350,23 @@ def encode_jpeg(
     quant_chroma: np.ndarray | None = None,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Write an (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB uint8 array
     as a real baseline sequential JPEG (SOF0), with per-image canonical
     Huffman tables.  ``quant_*`` are 64-entry tables in ZIGZAG order.
     ``subsampling``: '444' (1×1 everywhere) or '420' (luma 2×2, chroma
     averaged 2×2).  ``restart_interval`` > 0 emits DRI + RSTn markers
-    every that many MCUs (exercises the decoder's restart path)."""
+    every that many MCUs (exercises the decoder's restart path).
+
+    ``progressive=True`` emits SOF2 with a libjpeg-style scan script
+    (interleaved DC first at Al=1 → per-component spectral-selection AC
+    first passes → successive-approximation AC refinements → DC
+    refinement), per-scan canonical Huffman tables redefined via DHT
+    between scans.  The QUANTIZED COEFFICIENTS are identical to the
+    baseline path — progressive is a different lossless arrangement of
+    the same data, so ``decode_jpeg(progressive) == decode_jpeg(baseline)``
+    exactly (tested)."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2 or px.shape[2] == 1
     if px.ndim == 3 and px.shape[2] == 1:
@@ -385,6 +413,12 @@ def encode_jpeg(
         padded = _pad_to(p, ph, pw)
         coefs.append(_quantize_plane(padded, quant_luma if qt == 0 else qc))
         grids.append((ph // 8, pw // 8))
+
+    if progressive:
+        return _encode_progressive(
+            h, w, gray, samp, qtabs, quant_luma, qc, coefs, grids,
+            mcus_x, mcus_y, restart_interval,
+        )
 
     # assemble the MCU-ordered symbol stream twice: first to count
     # frequencies (canonical table build), then to emit bits
@@ -507,11 +541,13 @@ def encode_jpeg(
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """REAL decode of a baseline sequential JPEG → (H, W, 1 or 3) uint8.
+    """REAL decode of a baseline sequential (SOF0/1) or progressive
+    (SOF2) JPEG → (H, W, 1 or 3) uint8.
 
     Raises ValueError on non-JPEG payloads, truncation, bad Huffman data,
-    and unsupported variants (progressive, arithmetic, 12-bit, sampling
-    factors > 2) — callers capture per row, reference I5 semantics."""
+    and unsupported variants (arithmetic coding, hierarchical/lossless,
+    12-bit, sampling factors > 2) — callers capture per row, reference
+    I5 semantics."""
     d = payload
     if len(d) < 4 or d[0] != 0xFF or d[1] != 0xD8:
         raise ValueError("not a JPEG payload")
@@ -520,12 +556,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     restart = 0
-    while pos + 4 <= len(d):
+    progressive = False
+    coefs: list[np.ndarray] | None = None
+    while pos + 2 <= len(d):
         if d[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = d[pos + 1]
         if marker == 0xD9:
+            if progressive and coefs is not None:
+                return _reconstruct_progressive(frame, coefs, qt)
             raise ValueError("EOI before SOS")
+        if pos + 4 > len(d):
+            raise ValueError("truncated segment")
         ln = struct.unpack_from(">H", d, pos + 2)[0]
         body = d[pos + 4 : pos + 2 + ln]
         if len(body) != ln - 2:
@@ -540,7 +582,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     body, np.uint8, 64, bpos + 1
                 ).astype(np.int64)
                 bpos += 65
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -552,8 +594,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError(f"sampling factors {sh}x{sv} unsupported")
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential (SOF0/1) supported")
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential (SOF0/1) and progressive (SOF2) supported"
+            )
         elif marker == 0xC4:
             bpos = 0
             while bpos < len(body):
@@ -572,9 +617,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scomp = []
             for i in range(ns):
                 cs, tbl = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError("scan references unknown component")
                 scomp.append((comp, tbl >> 4, tbl & 0xF))
-            return _decode_scan(d, pos + 2 + ln, frame, scomp, qt, huff, restart)
+            if not progressive:
+                return _decode_scan(
+                    d, pos + 2 + ln, frame, scomp, qt, huff, restart
+                )
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if coefs is None:
+                coefs = _alloc_prog_coefs(frame)
+            pos = _decode_progressive_scan(
+                d, pos + 2 + ln, frame, scomp,
+                (ss, se, ahal >> 4, ahal & 0xF), huff, restart, coefs,
+            )
+            continue
         pos += 2 + ln
     raise ValueError("no SOS marker found")
 
@@ -644,6 +704,12 @@ def _decode_scan(d, pos, frame, scomp, qt, huff, restart):
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full.append(p[:h, :w])
+    return _color_finish(full)
+
+
+def _color_finish(full: list[np.ndarray]) -> np.ndarray:
+    """Cropped full-resolution planes → uint8 image (grayscale passthrough
+    or BT.601 YCbCr→RGB)."""
     if len(full) == 1:
         out = full[0][:, :, None]
     elif len(full) == 3:
@@ -655,3 +721,470 @@ def _decode_scan(d, pos, frame, scomp, qt, huff, restart):
     else:
         raise ValueError(f"{len(full)}-component scans unsupported")
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def _prog_geometry(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _noninterleaved_blocks(frame, c) -> tuple[int, int]:
+    """Non-interleaved block grid (bh, bw) for component ``c`` — the
+    component's OWN ceil dimensions (A.2.2), smaller than the MCU-aligned
+    grid when the frame width/height is not an MCU multiple."""
+    hmax, vmax, _, _ = _prog_geometry(frame)
+    cw = -(-(frame["w"] * c["h"]) // hmax)
+    ch = -(-(frame["h"] * c["v"]) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _alloc_prog_coefs(frame) -> list[np.ndarray]:
+    """Per-component (n_blocks, 64) zigzag coefficient accumulators at the
+    MCU-aligned grid size (DC scans are interleaved over that grid)."""
+    _, _, mcus_x, mcus_y = _prog_geometry(frame)
+    return [
+        np.zeros((mcus_y * c["v"] * mcus_x * c["h"], 64), dtype=np.int64)
+        for c in frame["comps"]
+    ]
+
+
+def _next_marker(d: bytes, pos: int) -> int:
+    """First real marker (not a stuffed 0x00, not RSTn) at/after pos."""
+    while pos + 1 < len(d):
+        if d[pos] == 0xFF and d[pos + 1] != 0x00 and not (
+            0xD0 <= d[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    raise ValueError("unterminated scan")
+
+
+def _decode_progressive_scan(d, pos, frame, scomp, spec, huff, restart, coefs):
+    """Decode ONE progressive scan into ``coefs`` (T.81 G.2: spectral
+    selection + successive approximation; the jdphuff.c control flow).
+    Returns the position of the next marker after the entropy data."""
+    ss, se, ah, al = spec
+    _, _, mcus_x, mcus_y = _prog_geometry(frame)
+    comp_of = {c["id"]: i for i, c in enumerate(frame["comps"])}
+    reader = _BitReader(d, pos)
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        # interleaved MCU raster (ns>1) or the single component's own grid
+        if len(scomp) > 1:
+            def units():
+                for mcu_i in range(mcus_x * mcus_y):
+                    blocks = []
+                    my, mx = divmod(mcu_i, mcus_x)
+                    for si, (c, _, _) in enumerate(scomp):
+                        bw = mcus_x * c["h"]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                gy, gx = my * c["v"] + by, mx * c["h"] + bx
+                                blocks.append((si, gy * bw + gx))
+                    yield blocks
+        else:
+            def units():
+                c = scomp[0][0]
+                bw = mcus_x * c["h"]
+                bh_n, bw_n = _noninterleaved_blocks(frame, c)
+                for i in range(bh_n * bw_n):
+                    by, bx = divmod(i, bw_n)
+                    yield [(0, by * bw + bx)]
+        pred = [0] * len(scomp)
+        if ah == 0:
+            try:
+                dctabs = [huff[(0, tdc)] for _, tdc, _ in scomp]
+            except KeyError as exc:
+                raise ValueError(f"missing table {exc}") from None
+        for unit_i, blocks in enumerate(units()):
+            if restart and unit_i and unit_i % restart == 0:
+                reader.align_restart(d)
+                pred = [0] * len(scomp)
+            for si, idx in blocks:
+                z = coefs[comp_of[scomp[si][0]["id"]]][idx]
+                if ah == 0:
+                    cat = reader.decode_symbol(dctabs[si])
+                    if cat > 11:
+                        raise ValueError("bad DC category")
+                    pred[si] += _extend(reader.bits(cat), cat)
+                    z[0] = pred[si] << al
+                elif reader.bits(1):
+                    z[0] = int(z[0]) | (1 << al)
+        return _next_marker(d, reader.pos)
+
+    # AC scan: exactly one component, non-interleaved (G.1.1.1.1)
+    if len(scomp) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not (ss <= se <= 63):
+        raise ValueError("bad spectral band")
+    c, _, tac = scomp[0]
+    try:
+        actab = huff[(1, tac)]
+    except KeyError as exc:
+        raise ValueError(f"missing table {exc}") from None
+    grid = coefs[comp_of[c["id"]]]
+    bw = mcus_x * c["h"]
+    bh_n, bw_n = _noninterleaved_blocks(frame, c)
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    for unit_i in range(bh_n * bw_n):
+        if restart and unit_i and unit_i % restart == 0:
+            reader.align_restart(d)
+            eobrun = 0
+        by, bx = divmod(unit_i, bw_n)
+        z = grid[by * bw + bx]
+        if ah == 0:
+            # first pass: plain run/size symbols, EOB run-lengths
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = reader.decode_symbol(actab)
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += reader.bits(run)
+                        break
+                    k += 16
+                    continue
+                k += run
+                if k > se:
+                    raise ValueError("AC index past Se")
+                z[k] = _extend(reader.bits(size), size) << al
+                k += 1
+        else:
+            # refinement pass (jdphuff.c): newly-nonzero values are ±p1,
+            # every nonzero-history coefficient crossed emits a correction
+            # bit; runs count zero-history positions only
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = reader.decode_symbol(actab)
+                    run, size = sym >> 4, sym & 0xF
+                    newval = 0
+                    if size:
+                        if size != 1:
+                            raise ValueError("bad AC refinement size")
+                        newval = p1 if reader.bits(1) else m1
+                    elif run != 15:
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += reader.bits(run)
+                        break
+                    while k <= se:
+                        v = int(z[k])
+                        if v != 0:
+                            if reader.bits(1) and (v & p1) == 0:
+                                z[k] = v + (p1 if v >= 0 else m1)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError("AC refinement overflow")
+                        z[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    v = int(z[k])
+                    if v != 0:
+                        if reader.bits(1) and (v & p1) == 0:
+                            z[k] = v + (p1 if v >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return _next_marker(d, reader.pos)
+
+
+def _reconstruct_progressive(frame, coefs, qt) -> np.ndarray:
+    """All scans consumed → dequantize, batched IDCT, upsample, color."""
+    h, w = frame["h"], frame["w"]
+    if h == 0 or w == 0:
+        raise ValueError("bad dimensions")
+    hmax, vmax, mcus_x, mcus_y = _prog_geometry(frame)
+    full = []
+    for ci, c in enumerate(frame["comps"]):
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quant table {c['tq']}")
+        dq = qt[c["tq"]]
+        bh, bw = mcus_y * c["v"], mcus_x * c["h"]
+        nat = np.zeros((bh * bw, 64), dtype=np.float64)
+        nat[:, _ZIGZAG] = coefs[ci] * dq
+        blocks = np.matmul(np.matmul(_C.T, nat.reshape(-1, 8, 8)), _C) + 128.0
+        plane = (
+            blocks.reshape(bh, bw, 8, 8).swapaxes(1, 2).reshape(bh * 8, bw * 8)
+        )
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    return _color_finish(full)
+
+
+def _encode_progressive(
+    h, w, gray, samp, qtabs, quant_luma, qc, coefs, grids,
+    mcus_x, mcus_y, restart_interval,
+):
+    """SOF2 container + scan script over the SAME quantized coefficients
+    as the baseline path (G.1.2: spectral selection + successive
+    approximation; the jcphuff.c emission rules).  Each Huffman-coded
+    scan gets a per-scan canonical table, redefined as table 0 of its
+    class via DHT between scans (spec-legal; exercises the decoder's
+    table redefinition)."""
+    ncomp = 1 if gray else 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def noninter_grid(ci):
+        sh, sv = samp[ci]
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    # (kind, comps, Ss, Se, Ah, Al) — DC approximation first, luma AC
+    # bands, chroma AC, then the refinement passes down to full precision
+    if gray:
+        script = [
+            ("dc_first", [0], 0, 0, 0, 1),
+            ("ac_first", [0], 1, 5, 0, 2),
+            ("ac_first", [0], 6, 63, 0, 2),
+            ("ac_refine", [0], 1, 63, 2, 1),
+            ("ac_refine", [0], 1, 63, 1, 0),
+            ("dc_refine", [0], 0, 0, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc_first", [0, 1, 2], 0, 0, 0, 1),
+            ("ac_first", [0], 1, 5, 0, 2),
+            ("ac_first", [0], 6, 63, 0, 2),
+            ("ac_first", [1], 1, 63, 0, 1),
+            ("ac_first", [2], 1, 63, 0, 1),
+            ("ac_refine", [0], 1, 63, 2, 1),
+            ("ac_refine", [0], 1, 63, 1, 0),
+            ("ac_refine", [1], 1, 63, 1, 0),
+            ("ac_refine", [2], 1, 63, 1, 0),
+            ("dc_refine", [0, 1, 2], 0, 0, 1, 0),
+        ]
+
+    def dc_units(comps):
+        """Block sequence for a DC scan: MCU-interleaved when ns>1, the
+        component's own non-interleaved grid when ns==1."""
+        if len(comps) > 1:
+            for mcu_i in range(mcus_x * mcus_y):
+                blocks = []
+                my, mx = divmod(mcu_i, mcus_x)
+                for si, ci in enumerate(comps):
+                    sh, sv = samp[ci]
+                    bw = grids[ci][1]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            gy, gx = my * sv + by, mx * sh + bx
+                            blocks.append((si, ci, gy * bw + gx))
+                yield blocks
+        else:
+            ci = comps[0]
+            bh_n, bw_n = noninter_grid(ci)
+            bw = grids[ci][1]
+            for i in range(bh_n * bw_n):
+                by, bx = divmod(i, bw_n)
+                yield [(0, ci, by * bw + bx)]
+
+    def run_dc_first(comps, al, emit_sym, emit_bits, emit_restart):
+        pred = [0] * len(comps)
+        for unit_i, blocks in enumerate(dc_units(comps)):
+            if restart_interval and unit_i and unit_i % restart_interval == 0:
+                emit_restart(unit_i // restart_interval - 1)
+                pred = [0] * len(comps)
+            for si, ci, idx in blocks:
+                v = int(coefs[ci][idx][0]) >> al  # DC: arithmetic shift
+                diff = v - pred[si]
+                pred[si] = v
+                cat = _category(diff)
+                emit_sym(cat)
+                if cat:
+                    emit_bits(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+    def run_dc_refine(comps, al, emit_bits, emit_restart):
+        for unit_i, blocks in enumerate(dc_units(comps)):
+            if restart_interval and unit_i and unit_i % restart_interval == 0:
+                emit_restart(unit_i // restart_interval - 1)
+            for _, ci, idx in blocks:
+                emit_bits((int(coefs[ci][idx][0]) >> al) & 1, 1)
+
+    def run_ac_first(ci, ss, se, al, emit_sym, emit_bits, emit_restart):
+        bh_n, bw_n = noninter_grid(ci)
+        bw = grids[ci][1]
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                emit_sym(nb << 4)
+                if nb:
+                    emit_bits(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        for unit_i in range(bh_n * bw_n):
+            if restart_interval and unit_i and unit_i % restart_interval == 0:
+                flush_eob()
+                emit_restart(unit_i // restart_interval - 1)
+            by, bx = divmod(unit_i, bw_n)
+            z = coefs[ci][by * bw + bx]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(z[k])
+                v = (abs(v) >> al) * (1 if v >= 0 else -1)  # toward zero
+                if v == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                while run > 15:
+                    emit_sym(0xF0)
+                    run -= 16
+                size = _category(v)
+                emit_sym((run << 4) | size)
+                emit_bits(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if run:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+
+    def run_ac_refine(ci, ss, se, al, emit_sym, emit_bits, emit_restart):
+        bh_n, bw_n = noninter_grid(ci)
+        bw = grids[ci][1]
+        p1 = 1 << al
+        eobrun = 0
+        pending: list[int] = []  # correction bits behind the pending EOB run
+
+        def flush_eob():
+            nonlocal eobrun, pending
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                emit_sym(nb << 4)
+                if nb:
+                    emit_bits(eobrun - (1 << nb), nb)
+                eobrun = 0
+                for b in pending:
+                    emit_bits(b, 1)
+                pending = []
+
+        for unit_i in range(bh_n * bw_n):
+            if restart_interval and unit_i and unit_i % restart_interval == 0:
+                flush_eob()
+                emit_restart(unit_i // restart_interval - 1)
+            by, bx = divmod(unit_i, bw_n)
+            z = coefs[ci][by * bw + bx]
+            vals = [abs(int(z[k])) >> al for k in range(ss, se + 1)]
+            eobpos = ss - 1  # position of the last NEWLY-nonzero coef
+            for k in range(ss, se + 1):
+                if vals[k - ss] == 1:
+                    eobpos = k
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                t = vals[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eobpos:
+                    flush_eob()
+                    emit_sym(0xF0)
+                    r -= 16
+                    for b in br:
+                        emit_bits(b, 1)
+                    br = []
+                if t > 1:  # history coefficient: one correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                emit_sym((r << 4) | 1)
+                emit_bits(1 if int(z[k]) >= 0 else 0, 1)
+                for b in br:
+                    emit_bits(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF or len(pending) > 937:
+                    flush_eob()
+        flush_eob()
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0]) + bytes(int(x) for x in quant_luma))
+    if not gray:
+        seg(0xDB, bytes([1]) + bytes(int(x) for x in qc))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, qtabs[ci]])
+    seg(0xC2, sof)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    for kind, comps, ss, se, ah, al in script:
+        def run(emit_sym, emit_bits, emit_restart):
+            if kind == "dc_first":
+                run_dc_first(comps, al, emit_sym, emit_bits, emit_restart)
+            elif kind == "dc_refine":
+                run_dc_refine(comps, al, emit_bits, emit_restart)
+            elif kind == "ac_first":
+                run_ac_first(comps[0], ss, se, al, emit_sym, emit_bits, emit_restart)
+            else:
+                run_ac_refine(comps[0], ss, se, al, emit_sym, emit_bits, emit_restart)
+
+        if kind != "dc_refine":  # raw-bit scans carry no Huffman symbols
+            freq: dict[int, int] = {}
+            run(
+                lambda s: freq.__setitem__(s, freq.get(s, 0) + 1),
+                lambda v, n: None,
+                lambda i: None,
+            )
+            cnt, syms = _build_huffman(freq)
+            codes = _canonical_codes(cnt, syms)
+            tclass = 0 if kind == "dc_first" else 1
+            seg(0xC4, bytes([(tclass << 4) | 0]) + bytes(cnt) + bytes(syms))
+        writer = _BitWriter()
+
+        def emit_restart(i: int) -> None:
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + (i % 8)])
+
+        run(
+            (lambda s: writer.write(*codes[s]))
+            if kind != "dc_refine"
+            else (lambda s: None),
+            writer.write,
+            emit_restart,
+        )
+        writer.flush()
+        sos = bytes([len(comps)])
+        for ci in comps:
+            sos += bytes([ci + 1, 0])  # DC/AC table selectors both 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -155,3 +155,99 @@ def test_png_jpeg_property_roundtrips():
         assert np.abs(got.astype(int) - px.astype(int)).max() <= tol
 
     run()
+
+
+# ------------------------------------------------------------ progressive
+
+
+def test_progressive_flat_gray_exact():
+    img = np.full((16, 24), 117, dtype=np.uint8)
+    p = encode_jpeg(img, quant_luma=EXACT_QUANT, progressive=True)
+    assert b"\xff\xc2" in p and b"\xff\xc0" not in p  # SOF2, no SOF0
+    got = decode_jpeg(p)
+    assert (got[:, :, 0] == img).all()
+
+
+def test_progressive_tiled_gray_exact():
+    # distinct DC per block: DC first scan at Al=1 + DC refinement must
+    # reassemble every DPCM value exactly (arithmetic-shift consistency)
+    tiles = (
+        (np.arange(5)[:, None] * 13 + np.arange(7)[None, :] * 7 + 50) % 256
+    ).astype(np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    got = decode_jpeg(encode_jpeg(img, quant_luma=EXACT_QUANT, progressive=True))
+    assert (got[:, :, 0] == img).all()
+
+
+def test_progressive_equals_baseline_exactly():
+    """Progressive is a different LOSSLESS arrangement of the same
+    quantized coefficients, so its decode must equal the baseline decode
+    bit-for-bit — this gates every scan kind (DC first/refine, AC first
+    with EOB runs, AC refinement with correction bits) against the
+    independent sequential path."""
+    rng = np.random.RandomState(11)
+    cases = [
+        ((24, 32, 3), "444", 0),
+        ((17, 23, 3), "420", 0),
+        ((9, 13), "444", 0),
+        ((40, 40, 3), "444", 3),   # restart markers inside every scan
+        ((33, 31, 3), "420", 2),
+    ]
+    for shape, sub, rst in cases:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg(
+                img, subsampling=sub, progressive=True, restart_interval=rst
+            )
+        )
+        assert (base == prog).all(), (shape, sub, rst)
+
+
+def test_progressive_q1_near_lossless():
+    rng = np.random.RandomState(13)
+    noisy = rng.randint(0, 256, (19, 21, 3)).astype(np.uint8)
+    got = decode_jpeg(
+        encode_jpeg(noisy, quant_luma=ONES, quant_chroma=ONES, progressive=True)
+    )
+    assert np.abs(got.astype(int) - noisy.astype(int)).max() <= 3
+
+
+def test_progressive_property_equals_baseline():
+    """Hypothesis sweep: baseline/progressive decode equality on arbitrary
+    small images across channel counts and subsampling."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        ch=st.sampled_from([1, 3]),
+        sub=st.sampled_from(["444", "420"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def run(h, w, ch, sub, seed):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(px, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg(px, subsampling=sub, progressive=True))
+        assert (base == prog).all()
+
+    run()
+
+
+def test_progressive_error_modes():
+    img = np.full((24, 24), 99, dtype=np.uint8)
+    good = encode_jpeg(img, progressive=True)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-4])  # EOI (and tail entropy) cut off
+    # truncation INSIDE a later scan's entropy data
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: int(len(good) * 0.7)])
+    # non-baseline, non-progressive SOFs still refuse honestly
+    bad = bytearray(good)
+    i = bad.find(b"\xff\xc2")
+    bad[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF0/1.*SOF2|progressive"):
+        decode_jpeg(bytes(bad))
