@@ -558,10 +558,14 @@ def synthetic_jpeg_tiles(seed: int):
     return np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
 
 
-def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(media_id, payload) frame of real baseline JPEG bytes synthesized per
-    document — genuine SOI/DQT/SOF0/DHT/SOS/EOI streams with per-image
-    canonical Huffman tables, decoding bit-exactly by construction."""
+def synthetic_jpeg_media(
+    docs: DataFrame, id_col: str = "doc_id", progressive: bool = False
+) -> DataFrame:
+    """(media_id, payload) frame of real JPEG bytes synthesized per
+    document — genuine SOI/DQT/SOF/DHT/SOS/EOI streams with per-image
+    canonical Huffman tables, decoding bit-exactly by construction.
+    ``progressive=True`` emits SOF2 multi-scan streams (DC/AC spectral
+    selection + successive approximation) carrying the same pixels."""
     from military_entity_extraction_based_on_large_models_spark.operators.jpeg import (
         EXACT_QUANT,
         encode_jpeg,
@@ -571,7 +575,11 @@ def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             ids = pdf["media_id"]
             payloads = [
-                encode_jpeg(synthetic_jpeg_tiles(int(mid)), quant_luma=EXACT_QUANT)
+                encode_jpeg(
+                    synthetic_jpeg_tiles(int(mid)),
+                    quant_luma=EXACT_QUANT,
+                    progressive=progressive,
+                )
                 for mid in ids
             ]
             yield pd.DataFrame({"media_id": ids.astype(str), "payload": payloads})

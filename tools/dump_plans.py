@@ -63,6 +63,21 @@ def _substrdup_section(d):
     return duplicate_spans(d.select("doc_id", "text"), k=3)
 
 
+def _linkpred_section(ev):
+    from military_entity_extraction_based_on_large_models_spark.operators.linkpred import (
+        node_similarity,
+    )
+
+    e = ev.select(
+        F.col("user_id").cast("string").alias("src"),
+        F.col("event_type").alias("dst"),
+    ).distinct()
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return node_similarity(edges)
+
+
 def _scd2_snapshot_section(ev):
     from military_entity_extraction_based_on_large_models_spark.operators.cdc import (
         latest_snapshot,
@@ -302,6 +317,18 @@ def build_sections(spark):
                 ),
                 k=5,
             ),
+        ),
+        (
+            "Node similarity / link prediction (wedge self-join)",
+            "Claim: ONE equi self-join keyed on the wedge CENTER z (never "
+            "CartesianProduct/BroadcastNestedLoopJoin — the Σ deg² cost is "
+            "bounded by the max_degree center cap at scale); one (a, b) "
+            "hash aggregate with map-side partials; the degree and "
+            "edge-mark joins attach to the AGGREGATED pair frame, never "
+            "the wedge stream.  "
+            "Gate: tests/test_linkpred.py::test_no_cartesian_plan + "
+            "python-replay equality.",
+            _linkpred_section(ev),
         ),
     ]
 
