@@ -1054,6 +1054,64 @@ def q_repo_link_pred(spark, sf_dir):
     return node_similarity(edges)
 
 
+_ALIAS_LIST = [a for a, _, _ in VOCAB_GAZETTEER]
+
+
+def _typo_name_expr(engine: str) -> str:
+    """Deterministic typo-planted surface form per document, expressed in
+    each engine's SQL: pick a gazetteer alias by doc_id, then mutate it
+    (delete / keep / append / substitute one char) by doc_id % 4 at a
+    doc_id-derived position — pure integer+substring arithmetic, so both
+    engines synthesize the byte-identical name table."""
+    quoted = ", ".join("'" + a.replace("'", "''") + "'" for a in _ALIAS_LIST)
+    n = len(_ALIAS_LIST)
+    if engine == "spark":
+        base = f"element_at(array({quoted}), cast(doc_id % {n} as int) + 1)"
+    else:
+        base = f"([{quoted}])[(doc_id % {n}) + 1]"
+    dpos = f"(doc_id % (length({base}) - 1))"   # delete position 1..len-1
+    spos = f"(doc_id % length({base}))"          # substitute position 1..len
+    return f"""CASE
+        WHEN doc_id % 4 = 0 THEN concat(
+            substring({base}, 1, cast({dpos} as int)),
+            substring({base}, cast({dpos} as int) + 2, length({base})))
+        WHEN doc_id % 4 = 1 THEN {base}
+        WHEN doc_id % 4 = 2 THEN concat({base}, 'x')
+        ELSE concat(
+            substring({base}, 1, cast({spos} as int)),
+            'q',
+            substring({base}, cast({spos} as int) + 2, length({base})))
+        END"""
+
+
+def q_kg_alias_editdist(spark, sf_dir):
+    """Typo-tolerant alias matching (operators/editdist): every pair of
+    distinct surface forms within Levenshtein distance 1, over a
+    deterministic typo-planted name table (deletions / insertions /
+    substitutions of gazetteer aliases).  Blocking is FastSS deletion
+    neighborhoods (provably complete for ed ≤ d) as a shuffle-free
+    codegen projection + ONE equi self-join on deletion keys; verify is
+    the built-in levenshtein.  The ORACLE is the brute-force all-pairs
+    levenshtein join, so the blocking theorem itself is hash-gated (the
+    doc_setsim_pairs stance)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.editdist import (
+        edit_distance_join,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    names = d.select(F.expr(_typo_name_expr("spark")).alias("name"))
+    return edit_distance_join(names, max_dist=1)
+
+
+def _kg_alias_editdist_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.editdist import (
+        edit_distance_join_sql,
+    )
+
+    names = f"SELECT {_typo_name_expr('duckdb')} AS name FROM documents"
+    return edit_distance_join_sql(names, max_dist=1)
+
+
 def q_multi_entity_docs(spark, sf_dir):
     """A6 (数据集/test.py:8-11): count documents with more than one distinct
     extracted entity."""
@@ -4753,6 +4811,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": q_kg_ppr,
         "repo_link_pred": q_repo_link_pred,
         "media_features_jpeg_prog": q_media_features_jpeg_prog,
+        "kg_alias_editdist": q_kg_alias_editdist,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "events_coverage": q_events_coverage,
         "orders_profile": q_orders_profile,
@@ -5353,6 +5412,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "kg_ppr": _kg_ppr_sql(),
         "repo_link_pred": _repo_link_pred_sql(),
         "media_features_jpeg_prog": _MEDIA_JPEG_SQL,
+        "kg_alias_editdist": _kg_alias_editdist_sql(),
         "dedup_incremental_verified": """
             WITH toks AS (
               SELECT doc_id,
