@@ -1883,6 +1883,54 @@ def q_kg_ppr(spark, sf_dir):
     )
 
 
+def q_kg_random_walks(spark, sf_dir):
+    """Deterministic random walks over the co-occurrence graph
+    (operators/randomwalk — DeepWalk-style sampling for graph embeddings
+    / path-shaped reasoning data): at step t, walk w moves to the
+    neighbor minimizing md5(seed:w:t:u), so the walk corpus is a pure
+    function of (edges, seed) — bit-identical at any parallelism, and
+    the oracle unrolls the identical md5-argmin steps as chained CTEs.
+    Per step: ONE frontier×edges equi join + ONE per-walk argmin
+    aggregate; the frontier never carries the edge list."""
+    from military_entity_extraction_based_on_large_models_spark.operators.randomwalk import (
+        random_walks,
+    )
+
+    t = _kg_base(spark, sf_dir)
+    e = (
+        t.where(F.col("pred") == "co_occurs_with")
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .distinct()
+    )
+    edges = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return random_walks(edges, length=4, walks_per_node=2)
+
+
+def _kg_random_walks_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.randomwalk import (
+        random_walks_sql,
+    )
+
+    edges = f"""
+        WITH ment AS (
+          SELECT DISTINCT d.doc_id, g.canonical
+          FROM documents d JOIN {GAZ_SQL}
+            ON position(g.alias IN d.text) > 0
+          WHERE g.label <> 'location'
+        ), co AS (
+          SELECT DISTINCT a.canonical AS a, b.canonical AS b
+          FROM ment a JOIN ment b
+            ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+        )
+        SELECT a AS src, b AS dst FROM co
+        UNION ALL
+        SELECT b AS src, a AS dst FROM co
+    """
+    return random_walks_sql(edges, length=4, walks_per_node=2)
+
+
 def q_kg_communities(spark, sf_dir):
     """Entity community detection (operators/labelprop): deterministic
     SYNCHRONOUS label propagation over the symmetrized co-occurrence
@@ -4812,6 +4860,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_link_pred": q_repo_link_pred,
         "media_features_jpeg_prog": q_media_features_jpeg_prog,
         "kg_alias_editdist": q_kg_alias_editdist,
+        "kg_random_walks": q_kg_random_walks,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "events_coverage": q_events_coverage,
         "orders_profile": q_orders_profile,
@@ -5413,6 +5462,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "repo_link_pred": _repo_link_pred_sql(),
         "media_features_jpeg_prog": _MEDIA_JPEG_SQL,
         "kg_alias_editdist": _kg_alias_editdist_sql(),
+        "kg_random_walks": _kg_random_walks_sql(),
         "dedup_incremental_verified": """
             WITH toks AS (
               SELECT doc_id,
