@@ -1931,6 +1931,45 @@ def _kg_random_walks_sql() -> str:
     return random_walks_sql(edges, length=4, walks_per_node=2)
 
 
+def q_kg_negative_samples(spark, sf_dir):
+    """KG-embedding training negatives (operators/negsample — TransE
+    filtered corruptions, Bordes 2013): ≤ 3 object-corrupted negatives
+    per co-occurrence triple, drawn deterministically (md5-uniform index
+    into an md5-uniform entity pool) and anti-joined against the true
+    triple set — no false negatives, bit-identical at any parallelism,
+    oracle replays the identical pool/draws/filter."""
+    from military_entity_extraction_based_on_large_models_spark.operators.negsample import (
+        negative_samples,
+    )
+
+    t = _kg_base(spark, sf_dir)
+    tri = t.where(F.col("pred") == "co_occurs_with").select(
+        "subj", "pred", "obj"
+    )
+    return negative_samples(tri, k=3)
+
+
+def _kg_negative_samples_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.negsample import (
+        negative_samples_sql,
+    )
+
+    tri = f"""
+        WITH ment AS (
+          SELECT DISTINCT d.doc_id, g.canonical
+          FROM documents d JOIN {GAZ_SQL}
+            ON position(g.alias IN d.text) > 0
+          WHERE g.label <> 'location'
+        )
+        SELECT a.canonical AS subj,
+               'co_occurs_with' AS pred,
+               b.canonical AS obj
+        FROM ment a JOIN ment b
+          ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+    """
+    return negative_samples_sql(tri, k=3)
+
+
 def q_kg_communities(spark, sf_dir):
     """Entity community detection (operators/labelprop): deterministic
     SYNCHRONOUS label propagation over the symmetrized co-occurrence
@@ -4861,6 +4900,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_jpeg_prog": q_media_features_jpeg_prog,
         "kg_alias_editdist": q_kg_alias_editdist,
         "kg_random_walks": q_kg_random_walks,
+        "kg_negative_samples": q_kg_negative_samples,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "events_coverage": q_events_coverage,
         "orders_profile": q_orders_profile,
@@ -5463,6 +5503,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "media_features_jpeg_prog": _MEDIA_JPEG_SQL,
         "kg_alias_editdist": _kg_alias_editdist_sql(),
         "kg_random_walks": _kg_random_walks_sql(),
+        "kg_negative_samples": _kg_negative_samples_sql(),
         "dedup_incremental_verified": """
             WITH toks AS (
               SELECT doc_id,
