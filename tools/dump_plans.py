@@ -63,6 +63,28 @@ def _substrdup_section(d):
     return duplicate_spans(d.select("doc_id", "text"), k=3)
 
 
+def _editdist_section(d):
+    from military_entity_extraction_based_on_large_models_spark.operators.editdist import (
+        edit_distance_join,
+    )
+
+    names = d.select(F.substring("text", 1, 12).alias("name"))
+    return edit_distance_join(names, max_dist=1)
+
+
+def _negsample_section(d):
+    from military_entity_extraction_based_on_large_models_spark.operators.negsample import (
+        negative_samples,
+    )
+
+    tri = d.select(
+        F.substring("text", 1, 6).alias("subj"),
+        F.lit("r").alias("pred"),
+        F.substring("text", 8, 6).alias("obj"),
+    )
+    return negative_samples(tri, k=2, pool_size=64)
+
+
 def _linkpred_section(ev):
     from military_entity_extraction_based_on_large_models_spark.operators.linkpred import (
         node_similarity,
@@ -317,6 +339,27 @@ def build_sections(spark):
                 ),
                 k=5,
             ),
+        ),
+        (
+            "Edit-distance join (FastSS deletion-key blocking)",
+            "Claim: deletion-neighborhood generation is a shuffle-free "
+            "codegen projection (transform/substring HOFs + one Generate); "
+            "candidates come from ONE equi self-join on deletion keys with "
+            "a distinct-pair reduction BEFORE the levenshtein verify — "
+            "never CartesianProduct/BroadcastNestedLoopJoin.  "
+            "Gate: tests/test_editdist.py::test_guards_and_plan + "
+            "brute-force equality at d=1/2.",
+            _editdist_section(d),
+        ),
+        (
+            "Negative sampling (md5 pool + broadcast draw join)",
+            "Claim: the entity pool is TakeOrderedAndProject (map-side "
+            "top-M, one M-row merge — never a global sort); its dense "
+            "index is a window over ≤ pool_size rows by construction; the "
+            "draw joins are broadcasts of the one-row count and the M-row "
+            "pool; the filter is one anti join on the true triple set.  "
+            "Gate: tests/test_negsample.py replay + twin parity.",
+            _negsample_section(d),
         ),
         (
             "Node similarity / link prediction (wedge self-join)",
