@@ -1030,6 +1030,41 @@ def q_repo_pagerank(spark, sf_dir):
     return pagerank(edges, n_iters=5).withColumnRenamed("node", "repo")
 
 
+def q_code_transitive_deps(spark, sf_dir):
+    """Transitive dependency audit over the repo dependency DAG
+    (operators/transclose): every repo paired with EVERY repo it
+    transitively depends on, plus the shortest dependency-chain length —
+    the "what does a licence problem in repo X contaminate" query.
+    Path-doubling fixpoint (⌈log2 diameter⌉ + 1 rounds, one self-join +
+    one min-hops aggregate each, digest-converged) vs graph_k_hop's
+    bounded chained-join form; the oracle is an independent recursive-CTE
+    frontier expansion with a min(hops) aggregate."""
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        transitive_closure,
+    )
+
+    docs, owners = _codegraph_docs_owners(spark, sf_dir)
+    dep = repo_dependency_edges(extract_import_edges(docs), owners)
+    # STRONG-dependency pruning before the closure: the raw repo graph is
+    # near-complete (every repo imports from every owner — hops would all
+    # be 1 and the closure vacuous); keeping only edges with n_links >
+    # 1.1× the mean (exact integer cross-multiply, no floats) leaves the
+    # heavily-imported subgraph, whose min-hop structure is genuinely
+    # multi-hop (hops 1-4 at sf0.01) and cyclic.  Same pruning replayed
+    # in the oracle.
+    tot = dep.agg(
+        F.sum("n_links").alias("t"), F.count(F.lit(1)).alias("m")
+    )
+    strong = (
+        dep.crossJoin(F.broadcast(tot))
+        .where(F.col("n_links") * F.col("m") * 10 > F.col("t") * 11)
+        .select(F.col("src_repo").alias("src"), F.col("dst_repo").alias("dst"))
+    )
+    return transitive_closure(strong).select(
+        F.col("src").alias("repo"), F.col("dst").alias("dep_repo"), "hops"
+    )
+
+
 def q_repo_link_pred(spark, sf_dir):
     """Node similarity / link prediction over the repo dependency graph
     (operators/linkpred): every unordered repo pair with a common
@@ -2336,6 +2371,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       and cube_counts; retired to driver-gate code_import_graph (per-lang
       import extraction → module-ownership join → repo dependency edges —
       the code-native KG surface the input_hint corpus calls for).
+    * multi_entity_docs (r6) — a 1-row count whose surface sft_pairs and
+      the kg_* family already exercise; retired to driver-gate
+      dedup_incremental_verified (the incremental corpus-refresh dedup a
+      real 100 TB pipeline runs daily — VERDICT r5 "Next round" #4).
     """
     return {
         "kg_mentions": q_kg_mentions,
@@ -2377,7 +2416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_revenue_per_nation": q5_revenue_per_nation,
         "events_hourly": q_events_hourly,
         "cube_counts": q_cube_counts,
-        "multi_entity_docs": q_multi_entity_docs,
+        # r6 swap: multi_entity_docs retired (1-row count, surface covered
+        # by sft_pairs/kg_*); slot given to the incremental-refresh dedup
+        "dedup_incremental_verified": q_dedup_incremental_verified,
         "backend_fallback": q_backend_fallback,
         "media_features_jpeg": q_media_features_jpeg,
         "prompt_assembly": q_prompt_assembly,
@@ -2680,6 +2721,34 @@ def _repo_link_pred_sql() -> str:
         """
     )
     return node_similarity_sql(edges)
+
+
+def _code_transitive_deps_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        transitive_closure_sql,
+    )
+
+    edges = (
+        _CODEGRAPH_SQL_PREFIX
+        + """
+            , dep AS (
+              SELECT n.source AS src, o.repo AS dst,
+                     count(*) AS n_links
+              FROM norm n JOIN owners o ON n.module = o.module
+              WHERE n.source <> o.repo
+              GROUP BY n.source, o.repo
+            ), tot AS (
+              SELECT sum(n_links) AS t, count(*) AS m FROM dep
+            )
+            SELECT d.src, d.dst FROM dep d, tot
+            WHERE d.n_links * tot.m * 10 > tot.t * 11
+        """
+    )
+    return (
+        "SELECT src AS repo, dst AS dep_repo, hops FROM ("
+        + transitive_closure_sql(edges, max_hops=32)
+        + ") tc_final"
+    )
 
 
 def _kg_pagerank_sql() -> str:
@@ -3549,16 +3618,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
-        "multi_entity_docs": f"""
-            WITH m AS (
-              SELECT d.doc_id, count(DISTINCT (g.alias, g.label)) AS n
-              FROM documents d JOIN {GAZ_SQL}
-                ON position(g.alias IN d.text) > 0
-              GROUP BY d.doc_id
+        "dedup_incremental_verified": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          ELSE [array_to_string(w, ' ')] END AS s
+              FROM toks
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             )
-            SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS multi_entity_docs,
-                   count(*) AS docs_with_entities
-            FROM m
+            SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+            FROM pairs
+            WHERE jaccard >= 0.9
+              AND (id_a % 10 = 0 OR id_b % 10 = 0)
         """,
         "backend_fallback": f"""
             WITH p AS (
@@ -4901,7 +4984,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_alias_editdist": q_kg_alias_editdist,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
-        "dedup_incremental_verified": q_dedup_incremental_verified,
+        "code_transitive_deps": q_code_transitive_deps,
+        "multi_entity_docs": q_multi_entity_docs,
         "events_coverage": q_events_coverage,
         "orders_profile": q_orders_profile,
         "events_outliers": q_events_outliers,
@@ -5504,30 +5588,17 @@ def retired_oracle_sql() -> dict[str, str]:
         "kg_alias_editdist": _kg_alias_editdist_sql(),
         "kg_random_walks": _kg_random_walks_sql(),
         "kg_negative_samples": _kg_negative_samples_sql(),
-        "dedup_incremental_verified": """
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
-                                 x -> x <> '') AS w
-              FROM documents
-            ), sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(w) >= 3
-                          THEN list_distinct(list_transform(
-                                 range(1, len(w) - 1),
-                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                          ELSE [array_to_string(w, ' ')] END AS s
-              FROM toks
-            ), pairs AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        "code_transitive_deps": _code_transitive_deps_sql(),
+        "multi_entity_docs": f"""
+            WITH m AS (
+              SELECT d.doc_id, count(DISTINCT (g.alias, g.label)) AS n
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+              GROUP BY d.doc_id
             )
-            SELECT id_a, id_b, round(jaccard, 4) AS jaccard
-            FROM pairs
-            WHERE jaccard >= 0.9
-              AND (id_a % 10 = 0 OR id_b % 10 = 0)
+            SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS multi_entity_docs,
+                   count(*) AS docs_with_entities
+            FROM m
         """,
         "events_coverage": _EVENTS_COVERAGE_SQL,
         "orders_profile": _orders_profile_sql(),

@@ -1,0 +1,102 @@
+"""Min-hop transitive closure: brute-force parity, cycle safety,
+parallelism invariance, exhaustion guard."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _brute_closure(edges):
+    """Python BFS reference: {(src, dst): min_hops} over ordered pairs."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        if s != d:
+            adj[s].append(d)
+            nodes.update((s, d))
+    out = {}
+    for s in nodes:
+        seen = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    q.append(v)
+        for d, h in seen.items():
+            if d != s:
+                out[(s, d)] = h
+    return out
+
+
+EDGES = [
+    # a 6-deep chain (forces 4 doubling rounds: diameters 1,2,4,8)
+    ("c0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c5"),
+    ("c5", "c6"),
+    # a 3-cycle feeding the chain (cycle safety + cross-component reach)
+    ("x", "y"), ("y", "z"), ("z", "x"), ("z", "c0"),
+    # a branch + a duplicate edge + a self-loop (both must be ignored)
+    ("c1", "b1"), ("c1", "b1"), ("b1", "b1"),
+]
+
+
+def test_matches_brute_force(spark):
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        transitive_closure,
+    )
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        (r["src"], r["dst"]): r["hops"]
+        for r in transitive_closure(df).collect()
+    }
+    assert got == _brute_closure(EDGES)
+    # the fixture genuinely exercises depth: a 7-hop pair exists
+    assert max(got.values()) >= 7
+
+
+def test_parallelism_invariant(spark):
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        transitive_closure,
+    )
+
+    df1 = spark.createDataFrame(EDGES, "src string, dst string").repartition(1)
+    df13 = spark.createDataFrame(EDGES, "src string, dst string").repartition(13)
+    rows = lambda d: sorted(map(tuple, transitive_closure(d).collect()))  # noqa: E731
+    assert rows(df1) == rows(df13)
+
+
+def test_exhaustion_raises(spark):
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        transitive_closure,
+    )
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    # diameter 7 needs rounds covering 2^3; one round only covers 2 — the
+    # digest is still moving, so the guard must raise, never return a
+    # silent non-fixpoint
+    with pytest.raises(RuntimeError, match="non-fixpoint"):
+        transitive_closure(df, max_rounds=1)
+
+
+def test_sql_twin_matches(spark):
+    import duckdb
+
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        transitive_closure,
+        transitive_closure_sql,
+    )
+
+    duck = duckdb.connect()
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = sorted(map(tuple, transitive_closure(df).collect()))
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in EDGES)
+    sql = transitive_closure_sql(
+        f"SELECT * FROM (VALUES {vals}) AS e(src, dst)", max_hops=16
+    )
+    want = sorted(map(tuple, duck.execute(sql).fetchall()))
+    assert got == want
