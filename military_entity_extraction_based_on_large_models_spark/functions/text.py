@@ -36,6 +36,27 @@ LANG_EVIDENCE: dict[str, list[str]] = {
 }
 
 
+def bind_once(expr: Column, body) -> Column:
+    """Evaluate ``expr`` ONCE per row and pass the VALUE into ``body``.
+
+    A higher-order-function lambda that references an outer expression
+    TREE re-evaluates that tree for EVERY array element — codegen's
+    common-subexpression elimination does not span HOF lambda bodies, so
+    ``transform(sequence(...), lambda i: element_at(tokens(text), i))``
+    re-runs the full tokenizing regex split per element: O(T) splits of
+    the whole document per row, O(T²·len) work (measured 36× on the
+    bigram builder at sf1; the dedup.py minhash docstring records the
+    same hazard).  Wrapping the expression as the sole element of an
+    array and mapping ``body`` over it binds the evaluated VALUE to a
+    lambda variable — lambda variables are row values, immune to both
+    per-element re-evaluation and optimizer re-inlining
+    (CollapseProject cannot substitute into a lambda binding).
+
+    ``body``: Column -> Column, receives the bound value.
+    """
+    return F.get(F.transform(F.array(expr), body), 0)
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokens, empties removed (BPE-ish splitting is regex-based:
     split on any non-word run).  The whitespace class is EXPLICIT because the
@@ -163,16 +184,22 @@ def chunk_texts(col: Column, size: int = 64, overlap: int = 16) -> Column:
     final partial window is kept (training pipelines pad it downstream)."""
     if not 0 <= overlap < size:
         raise ValueError("need 0 <= overlap < size")
-    toks = tokens(col)
-    n = F.size(toks)
     step = size - overlap
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
-    return F.when(n > 0,
-        F.transform(
-            F.filter(starts, lambda s: s < n),
-            lambda s: F.concat_ws(" ", F.slice(toks, s + 1, size)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    # tokenize ONCE per row (bind_once): with the token expression inlined
+    # in the chunk lambda, every chunk re-ran the full split — quadratic in
+    # document length (the doc_bigrams 36× bug, caught by the sf10 sweep)
+    def _chunks(tk: Column) -> Column:
+        n = F.size(tk)
+        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+        return F.when(n > 0,
+            F.transform(
+                F.filter(starts, lambda s: s < n),
+                lambda s: F.concat_ws(" ", F.slice(tk, s + 1, size)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tokens(col), _chunks)
 
 
 # PII scrubbing patterns — shared literal character-class syntax so Java

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import bind_once, tokens
 
 
 def doc_units(
@@ -47,15 +47,21 @@ def doc_units(
     non-overlapping ``window_words``-word windows; the final unit keeps the
     shorter tail.  Empty documents produce zero units."""
     w = int(window_words)
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    idx = F.when(
-        n > 0,
-        F.sequence(F.lit(0), F.floor((n - 1) / F.lit(w)).cast("int")),
-    ).otherwise(F.array().cast("array<int>"))
-    units = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i * w + 1, w), " ")
-    )
+
+    # bind_once: tokenize exactly once per row — with the token expression
+    # inlined in the window lambda every unit re-ran the full split
+    # (quadratic in document length; the lm.doc_bigrams bug class)
+    def _units(tk):
+        n = F.size(tk)
+        idx = F.when(
+            n > 0,
+            F.sequence(F.lit(0), F.floor((n - 1) / F.lit(w)).cast("int")),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.array_join(F.slice(tk, i * w + 1, w), " ")
+        )
+
+    units = bind_once(tokens(F.col(text_col)), _units)
     return docs.select(
         id_col, F.posexplode(units).alias("pos", "unit")
     )

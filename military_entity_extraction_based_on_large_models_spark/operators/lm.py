@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from military_entity_extraction_based_on_large_models_spark.functions.text import (
+    bind_once,
     word_tokens,
 )
 
@@ -64,20 +65,21 @@ def doc_bigrams(
 
     Tokenization is functions/text.word_tokens (lowercased, Unicode-aware
     split).  Docs with < 2 tokens emit no rows.  Shuffle-free: the pair
-    list is built inside the token array with one transform, then
-    exploded.
+    list is zipped from the bound token array (bind_once — tokenizing
+    exactly once per row; the original element_at-in-lambda form re-split
+    the whole document PER PAIR, quadratic in document length: 36× slower
+    at sf1, caught by the sf10 sweep), then exploded.
     """
-    toks = word_tokens(F.col(text_col))
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    def _pairs(tk):
+        m = F.greatest(F.size(tk) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(tk, 1, m),
+            F.slice(tk, 2, m),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+
+    pairs = bind_once(word_tokens(F.col(text_col)), _pairs)
     return docs.select(F.col(id_col), F.explode(pairs).alias("_bg")).select(
         id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
     )

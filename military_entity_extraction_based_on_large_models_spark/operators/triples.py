@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import bind_once
+
 TRIPLE_COLUMNS = ["subj", "pred", "obj", "doc_sha", "repo", "path", "commit"]
 
 PROV = ["doc_sha", "repo", "path", "commit"]
@@ -65,7 +67,7 @@ def _all_triples_expr(ents):
         ),
     )
 
-    non_loc = F.array_sort(
+    non_loc_expr = F.array_sort(
         F.array_distinct(
             F.transform(
                 F.filter(ents, lambda e: e["label"] != "location"),
@@ -73,7 +75,7 @@ def _all_triples_expr(ents):
             )
         )
     )
-    loc = F.array_sort(
+    loc_expr = F.array_sort(
         F.array_distinct(
             F.transform(
                 F.filter(ents, lambda e: e["label"] == "location"),
@@ -96,23 +98,32 @@ def _all_triples_expr(ents):
             )
         )
 
-    located_in = pair_structs(non_loc, loc, "located_in")
-    # triangular pairs (a < b) over the sorted canonical array
-    co_occurs = F.flatten(
-        F.transform(
-            non_loc,
-            lambda a, i: F.transform(
-                F.slice(non_loc, i + F.lit(2), F.size(non_loc)),
-                lambda b: F.struct(
-                    a.alias("subj"),
-                    F.lit("co_occurs_with").alias("pred"),
-                    b.alias("obj"),
-                ),
-            ),
+    # bind_once the two derived arrays: both appear inside INNER lambdas
+    # (loc per non-loc element in the cross product; non_loc sliced per
+    # element in the triangular transform) — inlined, the filter/distinct/
+    # sort derivation would re-run per element (the lm.doc_bigrams
+    # quadratic-HOF bug class; functions/text.bind_once)
+    def _with_non_loc(non_loc):
+        located_in = bind_once(
+            loc_expr, lambda loc: pair_structs(non_loc, loc, "located_in")
         )
-    )
+        # triangular pairs (a < b) over the sorted canonical array
+        co_occurs = F.flatten(
+            F.transform(
+                non_loc,
+                lambda a, i: F.transform(
+                    F.slice(non_loc, i + F.lit(2), F.size(non_loc)),
+                    lambda b: F.struct(
+                        a.alias("subj"),
+                        F.lit("co_occurs_with").alias("pred"),
+                        b.alias("obj"),
+                    ),
+                ),
+            )
+        )
+        return F.concat(mentioned_as, instance_of, located_in, co_occurs)
 
-    return F.concat(mentioned_as, instance_of, located_in, co_occurs)
+    return bind_once(non_loc_expr, _with_non_loc)
 
 
 def _explode_triples(per_doc: DataFrame, ents) -> DataFrame:
