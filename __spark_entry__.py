@@ -188,6 +188,46 @@ def q_kg_canonical_components(spark, sf_dir):
     return comp.orderBy("node")
 
 
+def q_kg_components_incremental(spark, sf_dir):
+    """INCREMENTAL canonical-components maintenance
+    (canonicalize.connected_components_incremental — the KG analogue of
+    dedup_incremental_verified): the stored labeling is the full CC over
+    the alias↔canonical edges; the daily batch is a same-label ENTITY
+    CONSOLIDATION event — every mentioned canonical merges into its
+    label's lexicographic-min canonical (real component MERGES: the
+    multi-entity labels each collapse two stored components into one),
+    plus one provisional 'pending_<label>' node per label (the
+    unseen-node attach path).  The fold is O(batch): component
+    contraction + CC on the contracted graph + ONE broadcast-remap scan
+    of the stored labeling.  The ORACLE is the full-recompute recursive
+    CTE over alias ∪ batch edges, so incremental == full is itself
+    hash-gated."""
+    from military_entity_extraction_based_on_large_models_spark.operators.canonicalize import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    docs = read_driver_documents(spark, sf_dir)
+    linked = kg_mentions(docs, VOCAB_GAZETTEER)
+    alias_edges = linked.select(
+        F.col("name").alias("src"), F.col("canonical").alias("dst")
+    ).distinct()
+    ments = linked.select("canonical", "label").distinct()
+    mins = ments.groupBy("label").agg(F.min("canonical").alias("_mc"))
+    consol = (
+        ments.join(mins, "label")
+        .where(F.col("canonical") != F.col("_mc"))
+        .select(F.col("_mc").alias("src"), F.col("canonical").alias("dst"))
+    )
+    pend = mins.select(
+        F.col("_mc").alias("src"),
+        F.concat(F.lit("pending_"), F.col("label")).alias("dst"),
+    )
+    comp_old = connected_components(alias_edges)
+    batch = consol.unionByName(pend)
+    return connected_components_incremental(comp_old, batch).orderBy("node")
+
+
 # surface-form variants planted into the fuzzy-blocking input (round-1
 # review: the vocab aliases share no shingle bands, so the query returned 0
 # rows and proved nothing).  Chosen char-3-shingle Jaccards vs the vocab:
@@ -4985,6 +5025,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
         "code_transitive_deps": q_code_transitive_deps,
+        "kg_components_incremental": q_kg_components_incremental,
         "multi_entity_docs": q_multi_entity_docs,
         "events_coverage": q_events_coverage,
         "orders_profile": q_orders_profile,
@@ -5589,6 +5630,41 @@ def retired_oracle_sql() -> dict[str, str]:
         "kg_random_walks": _kg_random_walks_sql(),
         "kg_negative_samples": _kg_negative_samples_sql(),
         "code_transitive_deps": _code_transitive_deps_sql(),
+        # full-recompute CC over alias ∪ consolidation-batch edges:
+        # hash-equality proves the incremental fold reproduces the
+        # from-scratch labeling
+        "kg_components_incremental": f"""
+            WITH RECURSIVE ae AS (
+              SELECT DISTINCT g.alias AS src, g.canonical AS dst, g.label
+              FROM documents d JOIN {GAZ_SQL}
+                ON position(g.alias IN d.text) > 0
+            ), ments AS (
+              SELECT DISTINCT dst AS canonical, label FROM ae
+            ), mins AS (
+              SELECT label, min(canonical) AS mc FROM ments GROUP BY label
+            ), e0 AS (
+              SELECT src, dst FROM ae
+              UNION ALL
+              SELECT m.mc AS src, t.canonical AS dst
+              FROM mins m JOIN ments t
+                ON t.label = m.label AND t.canonical <> m.mc
+              UNION ALL
+              SELECT mc AS src, 'pending_' || label AS dst FROM mins
+            ), edges AS (
+              SELECT src AS a, dst AS b FROM e0
+              UNION
+              SELECT dst AS a, src AS b FROM e0
+            ), nodes AS (
+              SELECT DISTINCT a AS node FROM edges
+            ), walk AS (
+              SELECT node, node AS reached FROM nodes
+              UNION
+              SELECT w.node, e.b AS reached
+              FROM walk w JOIN edges e ON e.a = w.reached
+            )
+            SELECT node, min(reached) AS component
+            FROM walk GROUP BY node ORDER BY node
+        """,
         "multi_entity_docs": f"""
             WITH m AS (
               SELECT d.doc_id, count(DISTINCT (g.alias, g.label)) AS n

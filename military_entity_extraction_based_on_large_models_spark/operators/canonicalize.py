@@ -273,3 +273,81 @@ def canonical_clusters(
             )
         )
     return connected_components(edges)
+
+
+def connected_components_incremental(
+    comp: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fold a NEW edge batch into an existing components labeling without
+    recomputing global CC — the KG-maintenance analogue of
+    ``dedup.lsh_pairs_incremental``: a daily corpus increment costs
+    O(batch), never O(corpus).
+
+    ``comp``: the stored ``(node, component)`` labeling where ``component``
+    is the lexicographically-min member (exactly
+    :func:`connected_components`'s output).  ``new_edges``: the incoming
+    batch (string endpoints; unseen nodes allowed).
+
+    Correctness: components of ``old ∪ batch`` are exactly the old
+    components merged along batch edges.  Each old component is contracted
+    to its label, the batch induces a COMPONENT graph (only pairs whose
+    endpoints carry different labels), and :func:`connected_components` on
+    that tiny graph yields, per merged group, the min over constituent
+    labels — which, since every old label is already its component's min
+    member and new nodes label themselves, IS the global min member.  So
+    ``connected_components_incremental(cc(old), batch)`` equals
+    ``cc(old ∪ batch)`` row-for-row (property-tested, and the driver row's
+    oracle is the full-recompute recursive CTE — the equivalence itself is
+    hash-gated).
+
+    Scale shape (100 TB): one equi join of the O(batch) node set against
+    the stored labeling, CC on the contracted component graph (O(batch)
+    nodes — the star-alternation rounds run on a graph ~6 orders smaller
+    than the corpus), then ONE scan of ``comp`` with a broadcast remap of
+    the touched labels (|remap| ≤ 2·|batch|).  Nothing corpus-sized
+    shuffles; store ``comp`` bucketed by ``node`` and the probe join is
+    co-located too.
+    """
+    e = (
+        new_edges.select(F.col(src).alias("sa"), F.col(dst).alias("sb"))
+        .where(F.col("sa").isNotNull() & F.col("sb").isNotNull())
+        .distinct()
+    )
+    batch_nodes = (
+        e.select(F.col("sa").alias("node"))
+        .unionByName(e.select(F.col("sb").alias("node")))
+        .distinct()
+    )
+    # current label of every batch endpoint; unseen nodes label themselves
+    lbl = batch_nodes.join(comp, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("c0")
+    )
+    la = lbl.select(F.col("node").alias("sa"), F.col("c0").alias("_ca"))
+    lb = lbl.select(F.col("node").alias("sb"), F.col("c0").alias("_cb"))
+    contracted = (
+        e.join(la, "sa")
+        .join(lb, "sb")
+        .select(F.col("_ca").alias("src"), F.col("_cb").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    remap = F.broadcast(
+        connected_components(contracted).select(
+            F.col("node").alias("_old_label"),
+            F.col("component").alias("_new_label"),
+        )
+    )
+    updated_old = comp.join(
+        remap, comp["component"] == remap["_old_label"], "left"
+    ).select(
+        "node", F.coalesce("_new_label", comp["component"]).alias("component")
+    )
+    new_rows = (
+        lbl.join(comp.select("node"), "node", "left_anti")
+        .join(remap, F.col("c0") == F.col("_old_label"), "left")
+        .select("node", F.coalesce("_new_label", F.col("c0")).alias("component"))
+    )
+    return updated_old.unionByName(new_rows)

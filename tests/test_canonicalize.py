@@ -82,3 +82,64 @@ def test_cc_active_filter_parity(spark):
         return set(frozenset(v) for v in out.values())
 
     assert comp_sets(True) == comp_sets(False)
+
+
+def _cc_inc(spark, old_edges, batch_edges):
+    from military_entity_extraction_based_on_large_models_spark.operators.canonicalize import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old = spark.createDataFrame(old_edges, "src string, dst string")
+    batch = spark.createDataFrame(batch_edges, "src string, dst string")
+    comp0 = connected_components(old)
+    inc = connected_components_incremental(comp0, batch)
+    full = connected_components(old.unionByName(batch))
+    return (
+        sorted(map(tuple, inc.collect())),
+        sorted(map(tuple, full.collect())),
+    )
+
+
+def test_cc_incremental_merges_components(spark):
+    # old: {a,b} and {c,d}; batch edge b-c merges them; e-f is a brand-new
+    # component of unseen nodes; g-a attaches an unseen node to an old one
+    inc, full = _cc_inc(
+        spark,
+        [("a", "b"), ("c", "d")],
+        [("b", "c"), ("e", "f"), ("g", "a")],
+    )
+    assert inc == full
+    as_dict = dict(inc)
+    assert as_dict == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "g": "a",
+        "e": "e", "f": "e",
+    }
+
+
+def test_cc_incremental_empty_batch_and_chain(spark):
+    # empty batch is the identity; a batch that chains three old components
+    # through two hops must relabel all of them to the global min
+    inc, full = _cc_inc(spark, [("m", "n"), ("p", "q"), ("x", "y")], [])
+    assert inc == full
+    inc, full = _cc_inc(
+        spark,
+        [("m", "n"), ("p", "q"), ("x", "y")],
+        [("n", "p"), ("q", "x")],
+    )
+    assert inc == full
+    assert dict(inc)["y"] == "m"
+
+
+def test_cc_incremental_property_random(spark):
+    import random
+
+    rng = random.Random(99)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(70)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    cut = len(edges) * 2 // 3
+    inc, full = _cc_inc(spark, edges[:cut], edges[cut:])
+    assert inc == full
