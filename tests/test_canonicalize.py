@@ -143,3 +143,24 @@ def test_cc_incremental_property_random(spark):
     cut = len(edges) * 2 // 3
     inc, full = _cc_inc(spark, edges[:cut], edges[cut:])
     assert inc == full
+
+
+def test_cc_incremental_remap_is_broadcast(spark):
+    """The stored-labeling update must be ONE scan with a broadcast remap
+    join (|remap| = O(batch)) — a shuffle of the corpus-sized labeling
+    would defeat the incremental contract."""
+    from military_entity_extraction_based_on_large_models_spark.operators.canonicalize import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    comp = connected_components(
+        spark.createDataFrame([("a", "b"), ("c", "d")], "src string, dst string")
+    )
+    batch = spark.createDataFrame([("b", "c")], "src string, dst string")
+    plan = (
+        connected_components_incremental(comp, batch)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

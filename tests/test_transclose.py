@@ -100,3 +100,27 @@ def test_sql_twin_matches(spark):
     )
     want = sorted(map(tuple, duck.execute(sql).fetchall()))
     assert got == want
+
+
+def test_round_join_plan_no_cartesian(spark):
+    """Each doubling round is one equi self-join + one min-hops hash
+    aggregate — never a cartesian/nested-loop plan."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    r = df.withColumn("hops", F.lit(1).cast("long"))
+    mid = (
+        r.alias("a")
+        .join(r.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(
+            F.col("a.src").alias("src"),
+            F.col("b.dst").alias("dst"),
+            (F.col("a.hops") + F.col("b.hops")).alias("hops"),
+        )
+    )
+    plan = (
+        r.unionByName(mid).groupBy("src", "dst").agg(F.min("hops").alias("hops"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
