@@ -34,9 +34,10 @@ wrong for social graphs (output → V²).  Callers on dense graphs want
 ``max_rounds`` guard raises rather than silently truncating.
 
 SQL twin (``transitive_closure_sql``): recursive CTE frontier expansion
-with a hop bound + min-hops aggregate — exact whenever the bound is ≥ the
-graph diameter (bound 32 covers 2^32-deep chains in the Spark form's
-round count; the CTE form needs diameter itself).
+with a hop bound + min-hops aggregate.  Unlike the Spark form (whose
+``max_rounds`` budget is logarithmic — 16 rounds cover diameter 65536),
+the CTE walks one hop per recursion step, so its ``max_hops`` bound must
+be ≥ the graph diameter itself (default 32 = exact for diameter ≤ 32).
 """
 
 from __future__ import annotations
