@@ -1841,6 +1841,109 @@ def q_neardup_keep_list(spark, sf_dir):
     )
 
 
+def q_neardup_cluster_stats(spark, sf_dir):
+    """Cluster-size distribution of the near-dup keep-list — the
+    OVER-MERGE diagnostic a real curation run reads before deleting
+    anything: LSH threshold too loose (or transitive chaining through
+    borderline pairs) shows up as a giant component swallowing the
+    corpus.  One row per cluster size: how many clusters, and the EXACT
+    integer micro-fraction of the corpus sitting at that size (size 1 =
+    unclustered singletons).  Composes the verified keep-list machinery
+    (minhash_lsh_pairs → ngram_jaccard_pairs → connected_components);
+    oracle extends the neardup_keep_list recursive-CTE closure with the
+    same size rollup."""
+    from military_entity_extraction_based_on_large_models_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_pairs(
+        d, text_col="text", id_col="doc_id", n_hashes=32, n_bands=8
+    )
+    verified = dedup.ngram_jaccard_pairs(
+        d, cands, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.9
+    )
+    comp = connected_components(
+        verified.select(
+            F.col("id_a").cast("string").alias("src"),
+            F.col("id_b").cast("string").alias("dst"),
+        )
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    totals = d.agg(F.count(F.lit(1)).alias("_n_docs")).crossJoin(
+        comp.agg(F.count(F.lit(1)).alias("_n_clustered"))
+    )
+    singles = totals.select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("_n_docs") - F.col("_n_clustered")).alias("n_clusters"),
+    )
+    return (
+        hist.unionByName(singles)
+        .crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("_nd"))))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            F.expr(
+                "cluster_size * n_clusters * 1000000 div _nd"
+            ).alias("share_docs_micro"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def q_kg_graph_stats(spark, sf_dir):
+    """One-row reachability audit of the strong-dependency graph
+    (operators/transclose composition): node/edge counts, reachable
+    ordered pairs, DIAMETER (max min-hop distance — the quantity the
+    path-doubling budget is sized from), and mean shortest-path length in
+    exact integer micro-units.  The graph-shape report read before
+    choosing per-graph iteration budgets (pagerank rounds, closure
+    max_rounds, k-hop depth)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        transitive_closure,
+    )
+
+    docs, owners = _codegraph_docs_owners(spark, sf_dir)
+    dep = repo_dependency_edges(extract_import_edges(docs), owners)
+    tot = dep.agg(F.sum("n_links").alias("t"), F.count(F.lit(1)).alias("m"))
+    strong = (
+        dep.crossJoin(F.broadcast(tot))
+        .where(F.col("n_links") * F.col("m") * 10 > F.col("t") * 11)
+        .select(F.col("src_repo").alias("src"), F.col("dst_repo").alias("dst"))
+    )
+    tc = transitive_closure(strong)
+    nodes = (
+        strong.select(F.col("src").alias("n"))
+        .unionByName(strong.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    return (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(strong.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(
+            tc.agg(
+                F.count(F.lit(1)).alias("n_reachable_pairs"),
+                F.max("hops").alias("diameter"),
+                F.sum("hops").alias("_hop_sum"),
+            )
+        )
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_reachable_pairs",
+            "diameter",
+            F.expr("_hop_sum * 1000000 div n_reachable_pairs").alias(
+                "mean_hops_micro"
+            ),
+        )
+    )
+
+
 def q_graph_degrees(spark, sf_dir):
     """Per-entity degree + local clustering coefficient over the undirected
     co-occurrence graph: degree from one explode+groupBy; clustering = 2T /
@@ -2763,12 +2866,10 @@ def _repo_link_pred_sql() -> str:
     return node_similarity_sql(edges)
 
 
-def _code_transitive_deps_sql() -> str:
-    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
-        transitive_closure_sql,
-    )
-
-    edges = (
+def _strong_dep_edges_sql() -> str:
+    """Strong-dependency repo edges (n_links > 1.1× mean, exact integer
+    cross-multiply) — shared by code_transitive_deps and kg_graph_stats."""
+    return (
         _CODEGRAPH_SQL_PREFIX
         + """
             , dep AS (
@@ -2784,11 +2885,40 @@ def _code_transitive_deps_sql() -> str:
             WHERE d.n_links * tot.m * 10 > tot.t * 11
         """
     )
+
+
+def _code_transitive_deps_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        transitive_closure_sql,
+    )
+
     return (
         "SELECT src AS repo, dst AS dep_repo, hops FROM ("
-        + transitive_closure_sql(edges, max_hops=32)
+        + transitive_closure_sql(_strong_dep_edges_sql(), max_hops=32)
         + ") tc_final"
     )
+
+
+def _kg_graph_stats_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        transitive_closure_sql,
+    )
+
+    edges = _strong_dep_edges_sql()
+    closure = transitive_closure_sql(edges, max_hops=32)
+    return f"""
+        SELECT
+          (SELECT count(*) FROM (
+             SELECT DISTINCT n FROM (
+               SELECT src AS n FROM ({edges}) e1
+               UNION SELECT dst AS n FROM ({edges}) e2) nn)) AS n_nodes,
+          (SELECT count(*) FROM (SELECT DISTINCT src, dst FROM ({edges}) e3) de)
+            AS n_edges,
+          count(*) AS n_reachable_pairs,
+          max(hops) AS diameter,
+          CAST(sum(hops) * 1000000 // count(*) AS BIGINT) AS mean_hops_micro
+        FROM ({closure}) tc
+    """
 
 
 def _kg_pagerank_sql() -> str:
@@ -5026,6 +5156,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": q_kg_negative_samples,
         "code_transitive_deps": q_code_transitive_deps,
         "kg_components_incremental": q_kg_components_incremental,
+        "neardup_cluster_stats": q_neardup_cluster_stats,
+        "kg_graph_stats": q_kg_graph_stats,
         "multi_entity_docs": q_multi_entity_docs,
         "events_coverage": q_events_coverage,
         "orders_profile": q_orders_profile,
@@ -5630,6 +5762,52 @@ def retired_oracle_sql() -> dict[str, str]:
         "kg_random_walks": _kg_random_walks_sql(),
         "kg_negative_samples": _kg_negative_samples_sql(),
         "code_transitive_deps": _code_transitive_deps_sql(),
+        "kg_graph_stats": _kg_graph_stats_sql(),
+        "neardup_cluster_stats": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          ELSE [array_to_string(w, ' ')] END AS s
+              FROM toks
+            ), edges0 AS (
+              SELECT CAST(a.doc_id AS VARCHAR) AS a, CAST(b.doc_id AS VARCHAR) AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+            ), und AS (
+              SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0
+            ), walk AS (
+              SELECT a AS node, b AS reached FROM und
+              UNION
+              SELECT w.node, u.b
+              FROM walk w JOIN und u ON u.a = w.reached
+              WHERE u.b <> w.node
+            ), compo AS (
+              SELECT node,
+                     CASE WHEN min(reached) < node THEN min(reached) ELSE node END AS keep
+              FROM walk GROUP BY node
+            ), sizes AS (
+              SELECT keep, count(*) AS cluster_size FROM compo GROUP BY keep
+            ), hist AS (
+              SELECT cluster_size, count(*) AS n_clusters
+              FROM sizes GROUP BY cluster_size
+              UNION ALL
+              SELECT CAST(1 AS BIGINT),
+                     (SELECT count(*) FROM documents) - (SELECT count(*) FROM compo)
+            )
+            SELECT cluster_size, n_clusters,
+                   cluster_size * n_clusters * 1000000
+                     // (SELECT count(*) FROM documents) AS share_docs_micro
+            FROM hist ORDER BY cluster_size
+        """,
         # full-recompute CC over alias ∪ consolidation-batch edges:
         # hash-equality proves the incremental fold reproduces the
         # from-scratch labeling
