@@ -1105,6 +1105,33 @@ def q_code_transitive_deps(spark, sf_dir):
     )
 
 
+def q_code_dep_paths(spark, sf_dir):
+    """Dependency-chain EXPLANATION (operators/transclose.
+    shortest_path_witness): every transitively-reachable repo pair with
+    its min-hop count AND a concrete witness chain "a>b>c" — the query a
+    licence/contamination audit answers "HOW does repo X depend on Y"
+    with, where code_transitive_deps gives only the distance.  Canonical
+    witness = fixpoint of the per-round min(struct(hops, path)) fold;
+    the oracle unrolls the IDENTICAL fold as chained CTEs, so the chosen
+    path matches byte-for-byte."""
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        shortest_path_witness,
+    )
+
+    docs, owners = _codegraph_docs_owners(spark, sf_dir)
+    dep = repo_dependency_edges(extract_import_edges(docs), owners)
+    tot = dep.agg(F.sum("n_links").alias("t"), F.count(F.lit(1)).alias("m"))
+    strong = (
+        dep.crossJoin(F.broadcast(tot))
+        .where(F.col("n_links") * F.col("m") * 10 > F.col("t") * 11)
+        .select(F.col("src_repo").alias("src"), F.col("dst_repo").alias("dst"))
+    )
+    return shortest_path_witness(strong, max_hops=6).select(
+        F.col("src").alias("repo"), F.col("dst").alias("dep_repo"),
+        "hops", "path",
+    )
+
+
 def q_repo_link_pred(spark, sf_dir):
     """Node similarity / link prediction over the repo dependency graph
     (operators/linkpred): every unordered repo pair with a common
@@ -2896,6 +2923,18 @@ def _code_transitive_deps_sql() -> str:
         "SELECT src AS repo, dst AS dep_repo, hops FROM ("
         + transitive_closure_sql(_strong_dep_edges_sql(), max_hops=32)
         + ") tc_final"
+    )
+
+
+def _code_dep_paths_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        shortest_path_witness_sql,
+    )
+
+    return (
+        "SELECT src AS repo, dst AS dep_repo, hops, path FROM ("
+        + shortest_path_witness_sql(_strong_dep_edges_sql(), max_hops=6)
+        + ") spw_final"
     )
 
 
@@ -5158,6 +5197,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components_incremental": q_kg_components_incremental,
         "neardup_cluster_stats": q_neardup_cluster_stats,
         "kg_graph_stats": q_kg_graph_stats,
+        "code_dep_paths": q_code_dep_paths,
         "multi_entity_docs": q_multi_entity_docs,
         "events_coverage": q_events_coverage,
         "orders_profile": q_orders_profile,
@@ -5763,6 +5803,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "kg_negative_samples": _kg_negative_samples_sql(),
         "code_transitive_deps": _code_transitive_deps_sql(),
         "kg_graph_stats": _kg_graph_stats_sql(),
+        "code_dep_paths": _code_dep_paths_sql(),
         "neardup_cluster_stats": """
             WITH RECURSIVE toks AS (
               SELECT doc_id,

@@ -126,3 +126,121 @@ def transitive_closure_sql(edges_sql: str, max_hops: int = 32) -> str:
         SELECT src, dst, CAST(min(hops) AS BIGINT) AS hops
         FROM reach GROUP BY src, dst
     """
+
+
+def shortest_path_witness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 8,
+) -> DataFrame:
+    """(src, dst, hops, path) — every reachable ordered pair with its
+    min-hop count AND a concrete witness path ``"a>b>c"`` — the "explain
+    HOW x reaches y" query (dependency chains, containment rollups,
+    entity-relatedness explanations) that :func:`transitive_closure`'s
+    bare hop count cannot answer.
+
+    Recurrence: single-step frontier fold — round k keeps, per pair, the
+    minimum ``struct(hops, path)`` over round k-1's kept rows plus their
+    one-edge extensions.  The struct min makes the output DETERMINISTIC
+    at any parallelism: hops is the true min-hop distance; the path is a
+    canonical shortest path — the fixpoint of this specific fold.  (It is
+    NOT guaranteed to be the globally lexicographically-least shortest
+    path: the fold extends only KEPT prefixes, and the lex-least path's
+    prefix need not be the kept one.  The SQL twin replays the identical
+    fold, so cross-engine equality holds exactly.)
+
+    Early exit on an unchanged digest is sound: the fold is monotone in
+    the struct order (candidates only ever lose to the kept min), so a
+    stable round is THE fixpoint and further rounds are identity — the
+    result equals the SQL twin's full ``max_hops``-round unroll.
+
+    Scale: one equi join + one min aggregate per round, O(diameter)
+    rounds (paths must grow edge-by-edge — the doubling trick would
+    concatenate PREFIX paths and change which canonical witness wins).
+    Rows are bounded by reachable pairs; paths add O(diameter·id_len)
+    bytes.  For hop counts alone at scale, prefer the log-round
+    :func:`transitive_closure`.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    step = e.select(
+        F.col("src").alias("_m"), F.col("dst").alias("_to")
+    )
+    r = truncate_plan_stats(
+        e.select(
+            "src", "dst", F.lit(1).cast("long").alias("hops"),
+            F.concat_ws(">", "src", "dst").alias("path"),
+        ).localCheckpoint(eager=False)
+    )
+    prev = None
+    for _ in range(max_hops - 1):
+        ext = (
+            r.join(step, r["dst"] == step["_m"])
+            .where(F.col("_to") != F.col("src"))
+            .select(
+                "src", F.col("_to").alias("dst"),
+                (F.col("hops") + 1).alias("hops"),
+                F.concat_ws(">", "path", "_to").alias("path"),
+            )
+        )
+        folded = (
+            r.unionByName(ext)
+            .groupBy("src", "dst")
+            .agg(F.min(F.struct("hops", "path")).alias("_best"))
+            .select("src", "dst", F.col("_best.hops").alias("hops"),
+                    F.col("_best.path").alias("path"))
+        )
+        r = truncate_plan_stats(folded.localCheckpoint(eager=False))
+        digest = tuple(
+            r.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64("src", "dst", "hops", "path")),
+                    F.lit(0),
+                ).alias("h"),
+            ).first()
+        )
+        if digest == prev:
+            break
+        prev = digest
+    return r
+
+
+def shortest_path_witness_sql(edges_sql: str, max_hops: int = 8) -> str:
+    """DuckDB twin: the IDENTICAL per-round min-struct fold unrolled as
+    chained CTEs (a recursive CTE cannot re-aggregate per round), so the
+    canonical witness path matches the Spark fold byte-for-byte."""
+    parts = [
+        f"""
+        WITH spw_edges AS (
+            SELECT DISTINCT src, dst FROM ({edges_sql}) spw_in
+            WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+        ), r1 AS (
+            SELECT src, dst, CAST(1 AS BIGINT) AS hops,
+                   src || '>' || dst AS path
+            FROM spw_edges
+        )"""
+    ]
+    for k in range(2, max_hops + 1):
+        parts.append(f"""
+        , r{k} AS (
+            SELECT src, dst,
+                   CAST((min(struct_pack(h := hops, p := path))).h AS BIGINT) AS hops,
+                   (min(struct_pack(h := hops, p := path))).p AS path
+            FROM (
+                SELECT src, dst, hops, path FROM r{k - 1}
+                UNION ALL
+                SELECT p.src, e.dst, p.hops + 1 AS hops,
+                       p.path || '>' || e.dst AS path
+                FROM r{k - 1} p JOIN spw_edges e ON p.dst = e.src
+                WHERE e.dst <> p.src
+            ) cand
+            GROUP BY src, dst
+        )""")
+    parts.append(f"\n        SELECT src, dst, hops, path FROM r{max_hops}")
+    return "".join(parts)

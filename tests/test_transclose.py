@@ -124,3 +124,76 @@ def test_round_join_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPathWitness:
+    def _brute_fold(self, edges, rounds):
+        """Python replay of the exact per-round min-struct fold."""
+        e = sorted({(s, d) for s, d in edges if s != d})
+        r = {(s, d): (1, f"{s}>{d}") for s, d in e}
+        for _ in range(rounds - 1):
+            cand = dict(r)
+            for (s, d), (h, p) in r.items():
+                for (m, to) in e:
+                    if m == d and to != s:
+                        c = (h + 1, f"{p}>{to}")
+                        if (s, to) not in cand or c < cand[(s, to)]:
+                            cand[(s, to)] = min(cand.get((s, to), c), c)
+            if cand == r:
+                break
+            r = cand
+        return {(s, d, h, p) for (s, d), (h, p) in r.items()}
+
+    def test_matches_python_fold_and_true_hops(self, spark):
+        from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+            shortest_path_witness,
+            transitive_closure,
+        )
+
+        df = spark.createDataFrame(EDGES, "src string, dst string")
+        got = {
+            (r["src"], r["dst"], r["hops"], r["path"])
+            for r in shortest_path_witness(df, max_hops=10).collect()
+        }
+        assert got == self._brute_fold(EDGES, 10)
+        # hops agree with the independent closure; every path is walkable
+        tc = {
+            (r["src"], r["dst"]): r["hops"]
+            for r in transitive_closure(df).collect()
+        }
+        es = {(s, d) for s, d in EDGES}
+        for s, d, h, p in got:
+            assert tc[(s, d)] == h
+            nodes = p.split(">")
+            assert nodes[0] == s and nodes[-1] == d and len(nodes) == h + 1
+            assert all((a, b) in es for a, b in zip(nodes, nodes[1:]))
+
+    def test_parallelism_invariant(self, spark):
+        from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+            shortest_path_witness,
+        )
+
+        rows = lambda n: sorted(  # noqa: E731
+            map(tuple, shortest_path_witness(
+                spark.createDataFrame(EDGES, "src string, dst string")
+                .repartition(n), max_hops=10
+            ).collect())
+        )
+        assert rows(1) == rows(13)
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+
+        from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+            shortest_path_witness,
+            shortest_path_witness_sql,
+        )
+
+        df = spark.createDataFrame(EDGES, "src string, dst string")
+        got = sorted(map(tuple, shortest_path_witness(df, max_hops=10).collect()))
+        vals = ", ".join(f"('{s}', '{d}')" for s, d in EDGES)
+        sql = shortest_path_witness_sql(
+            f"SELECT * FROM (VALUES {vals}) AS e(src, dst)", max_hops=10
+        )
+        want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+        assert got == want
