@@ -1868,6 +1868,31 @@ def q_neardup_keep_list(spark, sf_dir):
     )
 
 
+def q_kg_harmonic(spark, sf_dir):
+    """Harmonic centrality over the symmetrized entity co-occurrence graph
+    (transclose.harmonic_centrality): H(v) = Σ 1/d(u,v) in exact integer
+    micro-units — the closeness-family ranking beside kg_pagerank's
+    link-importance one; disconnected entities score on their own
+    component only (no teleport needed).  Oracle: the closure recursive
+    CTE + the identical integer rollup."""
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        harmonic_centrality,
+    )
+
+    t = _kg_base(spark, sf_dir)
+    co = (
+        t.where(F.col("pred") == "co_occurs_with")
+        .select("subj", "obj")
+        .distinct()
+    )
+    edges = co.unionByName(
+        co.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    ).distinct()
+    return harmonic_centrality(
+        edges.withColumnRenamed("subj", "src").withColumnRenamed("obj", "dst")
+    ).withColumnRenamed("node", "entity")
+
+
 def q_neardup_cluster_stats(spark, sf_dir):
     """Cluster-size distribution of the near-dup keep-list — the
     OVER-MERGE diagnostic a real curation run reads before deleting
@@ -2935,6 +2960,33 @@ def _code_dep_paths_sql() -> str:
         "SELECT src AS repo, dst AS dep_repo, hops, path FROM ("
         + shortest_path_witness_sql(_strong_dep_edges_sql(), max_hops=6)
         + ") spw_final"
+    )
+
+
+def _kg_harmonic_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        harmonic_centrality_sql,
+    )
+
+    edges = f"""
+        WITH ment AS (
+          SELECT DISTINCT d.doc_id, g.canonical
+          FROM documents d JOIN {GAZ_SQL}
+            ON position(g.alias IN d.text) > 0
+          WHERE g.label <> 'location'
+        ), co AS (
+          SELECT DISTINCT a.canonical AS a, b.canonical AS b
+          FROM ment a JOIN ment b
+            ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+        )
+        SELECT a AS src, b AS dst FROM co
+        UNION
+        SELECT b AS src, a AS dst FROM co
+    """
+    return (
+        "SELECT node AS entity, n_reaching, harmonic_micro FROM ("
+        + harmonic_centrality_sql(edges, max_hops=32)
+        + ") hc_final"
     )
 
 
@@ -5198,6 +5250,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cluster_stats": q_neardup_cluster_stats,
         "kg_graph_stats": q_kg_graph_stats,
         "code_dep_paths": q_code_dep_paths,
+        "kg_harmonic": q_kg_harmonic,
         "multi_entity_docs": q_multi_entity_docs,
         "events_coverage": q_events_coverage,
         "orders_profile": q_orders_profile,
@@ -5804,6 +5857,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "code_transitive_deps": _code_transitive_deps_sql(),
         "kg_graph_stats": _kg_graph_stats_sql(),
         "code_dep_paths": _code_dep_paths_sql(),
+        "kg_harmonic": _kg_harmonic_sql(),
         "neardup_cluster_stats": """
             WITH RECURSIVE toks AS (
               SELECT doc_id,

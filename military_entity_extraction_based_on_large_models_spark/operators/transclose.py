@@ -244,3 +244,39 @@ def shortest_path_witness_sql(edges_sql: str, max_hops: int = 8) -> str:
         )""")
     parts.append(f"\n        SELECT src, dst, hops, path FROM r{max_hops}")
     return "".join(parts)
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """(node, n_reaching, harmonic_micro) — harmonic centrality
+    H(v) = Σ_{u reaches v} 1/d(u, v) in EXACT integer micro-units
+    (contribution = 1000000 div hops, floor division — identical on both
+    engines, so the score is deterministic and engine-reproducible,
+    unlike a float sum whose order matters).  The closeness-family
+    complement to PageRank: rewards being NEAR many nodes rather than
+    being linked from important ones, and handles disconnected graphs
+    without PageRank's teleport (unreachable pairs simply contribute 0).
+    Derived from :func:`transitive_closure` — one extra hash aggregate on
+    the closure, so the cost model and the O(reachable pairs) caveat are
+    the closure's.
+    """
+    tc = transitive_closure(edges, src=src, dst=dst, max_rounds=max_rounds)
+    return tc.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_reaching"),
+        F.sum(F.expr("1000000 div hops")).alias("harmonic_micro"),
+    )
+
+
+def harmonic_centrality_sql(edges_sql: str, max_hops: int = 32) -> str:
+    """DuckDB twin: the closure CTE + the identical integer rollup."""
+    return f"""
+        SELECT dst AS node,
+               count(*) AS n_reaching,
+               CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_micro
+        FROM ({transitive_closure_sql(edges_sql, max_hops)}) hc
+        GROUP BY dst
+    """

@@ -197,3 +197,21 @@ class TestPathWitness:
         )
         want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
         assert got == want
+
+
+def test_harmonic_centrality_matches_bfs(spark):
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        harmonic_centrality,
+    )
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        r["node"]: (r["n_reaching"], r["harmonic_micro"])
+        for r in harmonic_centrality(df).collect()
+    }
+    closure = _brute_closure(EDGES)
+    want: dict = {}
+    for (s, d), h in closure.items():
+        n, m = want.get(d, (0, 0))
+        want[d] = (n + 1, m + 1_000_000 // h)
+    assert got == want
