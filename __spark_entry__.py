@@ -1070,6 +1070,22 @@ def q_repo_pagerank(spark, sf_dir):
     return pagerank(edges, n_iters=5).withColumnRenamed("node", "repo")
 
 
+def _strong_dep_edges(spark, sf_dir):
+    """Strong-dependency repo edges (n_links > 1.1× mean, exact integer
+    cross-multiply) — the SINGLE Python home of the pruning threshold,
+    mirroring ``_strong_dep_edges_sql`` on the oracle side; shared by
+    code_transitive_deps, code_dep_paths, and kg_graph_stats so a
+    threshold change cannot desynchronize one copy from its oracle."""
+    docs, owners = _codegraph_docs_owners(spark, sf_dir)
+    dep = repo_dependency_edges(extract_import_edges(docs), owners)
+    tot = dep.agg(F.sum("n_links").alias("t"), F.count(F.lit(1)).alias("m"))
+    return (
+        dep.crossJoin(F.broadcast(tot))
+        .where(F.col("n_links") * F.col("m") * 10 > F.col("t") * 11)
+        .select(F.col("src_repo").alias("src"), F.col("dst_repo").alias("dst"))
+    )
+
+
 def q_code_transitive_deps(spark, sf_dir):
     """Transitive dependency audit over the repo dependency DAG
     (operators/transclose): every repo paired with EVERY repo it
@@ -1083,23 +1099,11 @@ def q_code_transitive_deps(spark, sf_dir):
         transitive_closure,
     )
 
-    docs, owners = _codegraph_docs_owners(spark, sf_dir)
-    dep = repo_dependency_edges(extract_import_edges(docs), owners)
-    # STRONG-dependency pruning before the closure: the raw repo graph is
-    # near-complete (every repo imports from every owner — hops would all
-    # be 1 and the closure vacuous); keeping only edges with n_links >
-    # 1.1× the mean (exact integer cross-multiply, no floats) leaves the
-    # heavily-imported subgraph, whose min-hop structure is genuinely
-    # multi-hop (hops 1-4 at sf0.01) and cyclic.  Same pruning replayed
-    # in the oracle.
-    tot = dep.agg(
-        F.sum("n_links").alias("t"), F.count(F.lit(1)).alias("m")
-    )
-    strong = (
-        dep.crossJoin(F.broadcast(tot))
-        .where(F.col("n_links") * F.col("m") * 10 > F.col("t") * 11)
-        .select(F.col("src_repo").alias("src"), F.col("dst_repo").alias("dst"))
-    )
+    # STRONG-dependency pruning before the closure (_strong_dep_edges):
+    # the raw repo graph is near-complete (every repo imports from every
+    # owner — hops would all be 1 and the closure vacuous); the pruned
+    # subgraph is genuinely multi-hop (hops 1-4 at sf0.01) and cyclic.
+    strong = _strong_dep_edges(spark, sf_dir)
     return transitive_closure(strong).select(
         F.col("src").alias("repo"), F.col("dst").alias("dep_repo"), "hops"
     )
@@ -1118,15 +1122,7 @@ def q_code_dep_paths(spark, sf_dir):
         shortest_path_witness,
     )
 
-    docs, owners = _codegraph_docs_owners(spark, sf_dir)
-    dep = repo_dependency_edges(extract_import_edges(docs), owners)
-    tot = dep.agg(F.sum("n_links").alias("t"), F.count(F.lit(1)).alias("m"))
-    strong = (
-        dep.crossJoin(F.broadcast(tot))
-        .where(F.col("n_links") * F.col("m") * 10 > F.col("t") * 11)
-        .select(F.col("src_repo").alias("src"), F.col("dst_repo").alias("dst"))
-    )
-    return shortest_path_witness(strong, max_hops=6).select(
+    return shortest_path_witness(_strong_dep_edges(spark, sf_dir), max_hops=6).select(
         F.col("src").alias("repo"), F.col("dst").alias("dep_repo"),
         "hops", "path",
     )
@@ -1960,14 +1956,7 @@ def q_kg_graph_stats(spark, sf_dir):
         transitive_closure,
     )
 
-    docs, owners = _codegraph_docs_owners(spark, sf_dir)
-    dep = repo_dependency_edges(extract_import_edges(docs), owners)
-    tot = dep.agg(F.sum("n_links").alias("t"), F.count(F.lit(1)).alias("m"))
-    strong = (
-        dep.crossJoin(F.broadcast(tot))
-        .where(F.col("n_links") * F.col("m") * 10 > F.col("t") * 11)
-        .select(F.col("src_repo").alias("src"), F.col("dst_repo").alias("dst"))
-    )
+    strong = _strong_dep_edges(spark, sf_dir)
     tc = transitive_closure(strong)
     nodes = (
         strong.select(F.col("src").alias("n"))
@@ -2991,24 +2980,33 @@ def _kg_harmonic_sql() -> str:
 
 
 def _kg_graph_stats_sql() -> str:
-    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
-        transitive_closure_sql,
-    )
-
-    edges = _strong_dep_edges_sql()
-    closure = transitive_closure_sql(edges, max_hops=32)
+    # the edges CTE is hoisted ONCE (strong_e) and shared by the closure
+    # and the node/edge counts — inlining it per use would re-run the
+    # regex-extraction corpus scan four times in the oracle
     return f"""
+        WITH RECURSIVE strong_e AS ({_strong_dep_edges_sql()}),
+        tc_edges AS (
+            SELECT DISTINCT src, dst FROM strong_e
+            WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+        ), reach(src, dst, hops) AS (
+            SELECT src, dst, 1 FROM tc_edges
+            UNION
+            SELECT r.src, e.dst, r.hops + 1
+            FROM reach r JOIN tc_edges e ON r.dst = e.src
+            WHERE r.src <> e.dst AND r.hops < 32
+        ), tc AS (
+            SELECT src, dst, CAST(min(hops) AS BIGINT) AS hops
+            FROM reach GROUP BY src, dst
+        )
         SELECT
           (SELECT count(*) FROM (
-             SELECT DISTINCT n FROM (
-               SELECT src AS n FROM ({edges}) e1
-               UNION SELECT dst AS n FROM ({edges}) e2) nn)) AS n_nodes,
-          (SELECT count(*) FROM (SELECT DISTINCT src, dst FROM ({edges}) e3) de)
-            AS n_edges,
+             SELECT src AS n FROM tc_edges
+             UNION SELECT dst AS n FROM tc_edges) nn) AS n_nodes,
+          (SELECT count(*) FROM tc_edges) AS n_edges,
           count(*) AS n_reachable_pairs,
           max(hops) AS diameter,
           CAST(sum(hops) * 1000000 // count(*) AS BIGINT) AS mean_hops_micro
-        FROM ({closure}) tc
+        FROM tc
     """
 
 

@@ -321,9 +321,13 @@ def connected_components_incremental(
         .unionByName(e.select(F.col("sb").alias("node")))
         .distinct()
     )
-    # current label of every batch endpoint; unseen nodes label themselves
+    # current label of every batch endpoint; unseen nodes label themselves.
+    # _is_new rides along from THIS probe so the new-node split below needs
+    # no second corpus-sized join (the one-scan incremental contract)
     lbl = batch_nodes.join(comp, "node", "left").select(
-        "node", F.coalesce("component", F.col("node")).alias("c0")
+        "node",
+        F.coalesce("component", F.col("node")).alias("c0"),
+        F.col("component").isNull().alias("_is_new"),
     )
     la = lbl.select(F.col("node").alias("sa"), F.col("c0").alias("_ca"))
     lb = lbl.select(F.col("node").alias("sb"), F.col("c0").alias("_cb"))
@@ -346,7 +350,7 @@ def connected_components_incremental(
         "node", F.coalesce("_new_label", comp["component"]).alias("component")
     )
     new_rows = (
-        lbl.join(comp.select("node"), "node", "left_anti")
+        lbl.where(F.col("_is_new"))
         .join(remap, F.col("c0") == F.col("_old_label"), "left")
         .select("node", F.coalesce("_new_label", F.col("c0")).alias("component"))
     )

@@ -58,10 +58,13 @@ def transitive_closure(
     shortest-path hop count.  Deterministic at any parallelism (the result
     is a set; min-hops is order-independent).
 
-    ``max_rounds`` bounds the doubling loop: round k covers diameter 2^k,
-    so the default 16 is exact for any graph of diameter ≤ 65536.  If the
-    digest is still moving when the budget runs out the result would be a
-    silent non-fixpoint — raise instead (the k_core exhaustion stance).
+    ``max_rounds`` bounds the doubling loop: round k covers diameter 2^k
+    and convergence needs ONE further identical round to confirm, so the
+    loop runs up to ``max_rounds + 1`` times and the default 16 is exact
+    for any graph of diameter ≤ 65536 (boundary-tested: diameter exactly
+    2^k converges within budget k).  If the digest is still moving when
+    the budget runs out the result would be a silent non-fixpoint — raise
+    instead (the k_core exhaustion stance).
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -73,22 +76,9 @@ def transitive_closure(
         e.withColumn("hops", F.lit(1).cast("long")).localCheckpoint(eager=False)
     )
     prev = None
-    for _ in range(max_rounds):
-        mid = (
-            r.alias("a")
-            .join(r.alias("b"), F.col("a.dst") == F.col("b.src"))
-            .select(
-                F.col("a.src").alias("src"),
-                F.col("b.dst").alias("dst"),
-                (F.col("a.hops") + F.col("b.hops")).alias("hops"),
-            )
-            .where(F.col("src") != F.col("dst"))
-        )
+    for _ in range(max_rounds + 1):
         r = truncate_plan_stats(
-            r.unionByName(mid)
-            .groupBy("src", "dst")
-            .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=False)
+            _double_round(r).localCheckpoint(eager=False)
         )
         digest = tuple(
             r.agg(
@@ -102,9 +92,30 @@ def transitive_closure(
             return r
         prev = digest
     raise RuntimeError(
-        f"transitive_closure: digest still changing after {max_rounds} "
+        f"transitive_closure: digest still changing after {max_rounds + 1} "
         f"doubling rounds (diameter > 2^{max_rounds}?) — result would be a "
         "non-fixpoint; raise max_rounds"
+    )
+
+
+def _double_round(r: DataFrame) -> DataFrame:
+    """One path-doubling round: R ∪ (R ∘ R) folded to min hops per pair —
+    a single equi self-join plus one hash aggregate (plan-gated in
+    tests/test_transclose.py against THIS function, the shipped round)."""
+    mid = (
+        r.alias("a")
+        .join(r.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(
+            F.col("a.src").alias("src"),
+            F.col("b.dst").alias("dst"),
+            (F.col("a.hops") + F.col("b.hops")).alias("hops"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return (
+        r.unionByName(mid)
+        .groupBy("src", "dst")
+        .agg(F.min("hops").alias("hops"))
     )
 
 

@@ -104,23 +104,19 @@ def test_sql_twin_matches(spark):
 
 def test_round_join_plan_no_cartesian(spark):
     """Each doubling round is one equi self-join + one min-hops hash
-    aggregate — never a cartesian/nested-loop plan."""
+    aggregate — never a cartesian/nested-loop plan.  Drives the SHIPPED
+    round (`_double_round`, the exact code the loop runs), not a replica,
+    so a join-key regression in the operator fails here."""
     from pyspark.sql import functions as F
+
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        _double_round,
+    )
 
     df = spark.createDataFrame(EDGES, "src string, dst string")
     r = df.withColumn("hops", F.lit(1).cast("long"))
-    mid = (
-        r.alias("a")
-        .join(r.alias("b"), F.col("a.dst") == F.col("b.src"))
-        .select(
-            F.col("a.src").alias("src"),
-            F.col("b.dst").alias("dst"),
-            (F.col("a.hops") + F.col("b.hops")).alias("hops"),
-        )
-    )
     plan = (
-        r.unionByName(mid).groupBy("src", "dst").agg(F.min("hops").alias("hops"))
-        ._jdf.queryExecution().executedPlan().toString()
+        _double_round(r)._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -215,3 +211,20 @@ def test_harmonic_centrality_matches_bfs(spark):
         n, m = want.get(d, (0, 0))
         want[d] = (n + 1, m + 1_000_000 // h)
     assert got == want
+
+
+def test_boundary_diameter_exactly_power_of_two(spark):
+    """An 8-edge chain has diameter 8 = 2^3: max_rounds=3 must RETURN the
+    exact closure (the confirmation round gets its own allowance), not
+    spuriously raise — the review-confirmed boundary bug."""
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        transitive_closure,
+    )
+
+    chain = [(f"v{i}", f"v{i + 1}") for i in range(8)]
+    df = spark.createDataFrame(chain, "src string, dst string")
+    got = {
+        (r["src"], r["dst"]): r["hops"]
+        for r in transitive_closure(df, max_rounds=3).collect()
+    }
+    assert got == _brute_closure(chain)
