@@ -1128,6 +1128,22 @@ def q_code_dep_paths(spark, sf_dir):
     )
 
 
+def q_code_scc(spark, sf_dir):
+    """EXACT strongly connected components of the strong-dependency graph
+    (transclose.strongly_connected_components): the mutual-dependency
+    clusters — upgrading code_cycle_repos' trim screen (documented honest
+    SUPERSET: nodes between two cycles survive) to the exact partition,
+    read off the closure joined with its own transpose.  Oracle: the
+    closure CTE + the identical mutual-pair min fold."""
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(
+        _strong_dep_edges(spark, sf_dir)
+    ).withColumnRenamed("node", "repo")
+
+
 def q_repo_link_pred(spark, sf_dir):
     """Node similarity / link prediction over the repo dependency graph
     (operators/linkpred): every unordered repo pair with a common
@@ -2949,6 +2965,18 @@ def _code_dep_paths_sql() -> str:
         "SELECT src AS repo, dst AS dep_repo, hops, path FROM ("
         + shortest_path_witness_sql(_strong_dep_edges_sql(), max_hops=6)
         + ") spw_final"
+    )
+
+
+def _code_scc_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        strongly_connected_components_sql,
+    )
+
+    return (
+        "SELECT node AS repo, scc FROM ("
+        + strongly_connected_components_sql(_strong_dep_edges_sql(), max_hops=32)
+        + ") scc_final"
     )
 
 
@@ -5249,6 +5277,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_stats": q_kg_graph_stats,
         "code_dep_paths": q_code_dep_paths,
         "kg_harmonic": q_kg_harmonic,
+        "code_scc": q_code_scc,
         "multi_entity_docs": q_multi_entity_docs,
         "events_coverage": q_events_coverage,
         "orders_profile": q_orders_profile,
@@ -5856,6 +5885,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "kg_graph_stats": _kg_graph_stats_sql(),
         "code_dep_paths": _code_dep_paths_sql(),
         "kg_harmonic": _kg_harmonic_sql(),
+        "code_scc": _code_scc_sql(),
         "neardup_cluster_stats": """
             WITH RECURSIVE toks AS (
               SELECT doc_id,

@@ -291,3 +291,68 @@ def harmonic_centrality_sql(edges_sql: str, max_hops: int = 32) -> str:
         FROM ({transitive_closure_sql(edges_sql, max_hops)}) hc
         GROUP BY dst
     """
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """(node, scc) — EXACT strongly connected components: scc = the
+    lexicographically-min node mutually reachable with ``node`` (itself
+    if none).  Upgrades ``kcore.trim_to_cycle_core``'s documented
+    honest-SUPERSET screen (nodes between two cycles survive the trim) to
+    the exact partition: u, v share an SCC iff u reaches v AND v reaches
+    u, read directly off the transitive closure by joining it with its
+    own transpose — one equi join + one min aggregate + a left join to
+    self-label acyclic nodes.
+
+    Scale: inherits the closure's cost model and its O(reachable pairs)
+    caveat — right for dependency/containment graphs, wrong for social
+    graphs (use the trim screen there; it is linear).  Deterministic at
+    any parallelism (set semantics + min).
+    """
+    tc = transitive_closure(edges, src=src, dst=dst, max_rounds=max_rounds)
+    fwd = tc.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    rev = tc.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    mutual = fwd.intersect(rev)
+    labels = mutual.groupBy(F.col("a").alias("node")).agg(
+        F.min("b").alias("_m")
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .where(F.col("node").isNotNull())
+        .distinct()
+    )
+    return nodes.join(labels, "node", "left").select(
+        "node",
+        F.least(
+            F.coalesce("_m", F.col("node")), F.col("node")
+        ).alias("scc"),
+    )
+
+
+def strongly_connected_components_sql(edges_sql: str, max_hops: int = 32) -> str:
+    """DuckDB twin: the closure CTE joined with its transpose + the same
+    min/self-label fold."""
+    return f"""
+        WITH tc AS ({transitive_closure_sql(edges_sql, max_hops)}),
+        scc_nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM ({edges_sql}) se1
+                UNION
+                SELECT dst AS node FROM ({edges_sql}) se2
+            ) nn WHERE node IS NOT NULL
+        ), mutual AS (
+            SELECT f.src AS a, f.dst AS b
+            FROM tc f JOIN tc r ON f.src = r.dst AND f.dst = r.src
+        ), labels AS (
+            SELECT a AS node, min(b) AS m FROM mutual GROUP BY a
+        )
+        SELECT n.node,
+               CASE WHEN l.m IS NULL OR n.node < l.m THEN n.node ELSE l.m END
+                 AS scc
+        FROM scc_nodes n LEFT JOIN labels l ON n.node = l.node
+    """

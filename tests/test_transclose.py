@@ -228,3 +228,77 @@ def test_boundary_diameter_exactly_power_of_two(spark):
         for r in transitive_closure(df, max_rounds=3).collect()
     }
     assert got == _brute_closure(chain)
+
+
+class TestSCC:
+    def _brute_scc(self, edges):
+        closure = _brute_closure(edges)
+        nodes = {n for e in edges for n in e if e[0] != e[1]} | {
+            n for e in edges for n in e
+        }
+        out = {}
+        for v in nodes:
+            mutual = [
+                u for u in nodes
+                if u != v and (v, u) in closure and (u, v) in closure
+            ]
+            out[v] = min(mutual + [v])
+        return out
+
+    def test_matches_brute_force(self, spark):
+        from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+            strongly_connected_components,
+        )
+
+        df = spark.createDataFrame(EDGES, "src string, dst string")
+        got = {
+            r["node"]: r["scc"]
+            for r in strongly_connected_components(df).collect()
+        }
+        assert got == self._brute_scc(EDGES)
+        # the 3-cycle collapses to one SCC; chain nodes stay singletons
+        assert got["x"] == got["y"] == got["z"] == "x"
+        assert got["c0"] == "c0" and got["c6"] == "c6"
+
+    def test_two_cycles_bridged_stay_separate(self, spark):
+        """The case trim_to_cycle_core documents as its honest superset:
+        a node BETWEEN two cycles survives the trim but is its own SCC,
+        and the two cycles are distinct SCCs — the exact operator must
+        separate all three."""
+        from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+            strongly_connected_components,
+        )
+
+        edges = [
+            ("a1", "a2"), ("a2", "a1"),          # cycle A
+            ("a2", "mid"), ("mid", "b1"),         # bridge through mid
+            ("b1", "b2"), ("b2", "b1"),          # cycle B
+        ]
+        got = {
+            r["node"]: r["scc"]
+            for r in strongly_connected_components(
+                spark.createDataFrame(edges, "src string, dst string")
+            ).collect()
+        }
+        assert got == {
+            "a1": "a1", "a2": "a1", "mid": "mid", "b1": "b1", "b2": "b1"
+        }
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+
+        from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+            strongly_connected_components,
+            strongly_connected_components_sql,
+        )
+
+        df = spark.createDataFrame(EDGES, "src string, dst string")
+        got = sorted(
+            map(tuple, strongly_connected_components(df).collect())
+        )
+        vals = ", ".join(f"('{s}', '{d}')" for s, d in EDGES)
+        sql = strongly_connected_components_sql(
+            f"SELECT * FROM (VALUES {vals}) AS e(src, dst)", max_hops=16
+        )
+        want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+        assert got == want
