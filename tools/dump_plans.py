@@ -111,6 +111,32 @@ def _scd2_snapshot_section(ev):
     )
 
 
+def _transclose_section(spark):
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        _double_round,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    return _double_round(e.withColumn("hops", F.lit(1).cast("long")))
+
+
+def _cc_incremental_section(spark):
+    from military_entity_extraction_based_on_large_models_spark.operators.canonicalize import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    comp = connected_components(
+        spark.createDataFrame(
+            [("a", "b"), ("c", "d")], "src string, dst string"
+        )
+    )
+    batch = spark.createDataFrame([("b", "c")], "src string, dst string")
+    return connected_components_incremental(comp, batch)
+
+
 def build_sections(spark):
     """(title, claim, DataFrame) for every gated plan — shared by the
     PLANS.md generator and tests/test_plans.py's drift gate, so the file
@@ -372,6 +398,23 @@ def build_sections(spark):
             "Gate: tests/test_linkpred.py::test_no_cartesian_plan + "
             "python-replay equality.",
             _linkpred_section(ev),
+        ),
+        (
+            "Transitive-closure doubling round (equi self-join + min fold)",
+            "Claim: each path-doubling round is ONE equi self-join on the "
+            "frontier key plus ONE (src, dst) min-hops hash aggregate — "
+            "never CartesianProduct/BroadcastNestedLoopJoin; O(log diameter) "
+            "rounds total, each localCheckpointed.  "
+            "Gate: tests/test_transclose.py::test_round_join_plan_no_cartesian.",
+            _transclose_section(spark),
+        ),
+        (
+            "Incremental connected components (broadcast label remap)",
+            "Claim: the stored labeling is scanned ONCE and its update is a "
+            "BroadcastHashJoin against the O(batch) remap — never a shuffle "
+            "of the corpus-sized labeling, never a cartesian.  "
+            "Gate: tests/test_canonicalize.py::test_cc_incremental_remap_is_broadcast.",
+            _cc_incremental_section(spark),
         ),
     ]
 
