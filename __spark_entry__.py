@@ -1128,6 +1128,33 @@ def q_code_dep_paths(spark, sf_dir):
     )
 
 
+def q_code_weighted_deps(spark, sf_dir):
+    """Friction-weighted cheapest dependency routes
+    (transclose.min_plus_closure — the (min, +) tropical generalization of
+    the closure): edge friction = max(n_links) − n_links + 1, so strongly
+    imported dependencies are cheap to traverse and a chain of strong
+    links can genuinely undercut one weak direct edge — the weighted
+    "how coupled are these repos REALLY" audit over the UNPRUNED graph.
+    Oracle: recursive-CTE cheapest path with the identical friction
+    derivation (cheapest paths here use ≤ 8 edges, within the CTE's hop
+    bound)."""
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        min_plus_closure,
+    )
+
+    docs, owners = _codegraph_docs_owners(spark, sf_dir)
+    dep = repo_dependency_edges(extract_import_edges(docs), owners)
+    mx = dep.agg(F.max("n_links").alias("_mx"))
+    friction = dep.crossJoin(F.broadcast(mx)).select(
+        F.col("src_repo").alias("src"),
+        F.col("dst_repo").alias("dst"),
+        (F.col("_mx") - F.col("n_links") + 1).alias("weight"),
+    )
+    return min_plus_closure(friction).select(
+        F.col("src").alias("repo"), F.col("dst").alias("dep_repo"), "cost"
+    )
+
+
 def q_code_scc(spark, sf_dir):
     """EXACT strongly connected components of the strong-dependency graph
     (transclose.strongly_connected_components): the mutual-dependency
@@ -2965,6 +2992,34 @@ def _code_dep_paths_sql() -> str:
         "SELECT src AS repo, dst AS dep_repo, hops, path FROM ("
         + shortest_path_witness_sql(_strong_dep_edges_sql(), max_hops=6)
         + ") spw_final"
+    )
+
+
+def _code_weighted_deps_sql() -> str:
+    from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+        min_plus_closure_sql,
+    )
+
+    edges = (
+        _CODEGRAPH_SQL_PREFIX
+        + """
+            , dep AS (
+              SELECT n.source AS src, o.repo AS dst,
+                     count(*) AS n_links
+              FROM norm n JOIN owners o ON n.module = o.module
+              WHERE n.source <> o.repo
+              GROUP BY n.source, o.repo
+            ), mx AS (
+              SELECT max(n_links) AS m FROM dep
+            )
+            SELECT d.src, d.dst, mx.m - d.n_links + 1 AS weight
+            FROM dep d, mx
+        """
+    )
+    return (
+        "SELECT src AS repo, dst AS dep_repo, cost FROM ("
+        + min_plus_closure_sql(edges, max_hops=8)
+        + ") mp_final"
     )
 
 
@@ -5278,6 +5333,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_dep_paths": q_code_dep_paths,
         "kg_harmonic": q_kg_harmonic,
         "code_scc": q_code_scc,
+        "code_weighted_deps": q_code_weighted_deps,
         "multi_entity_docs": q_multi_entity_docs,
         "events_coverage": q_events_coverage,
         "orders_profile": q_orders_profile,
@@ -5886,6 +5942,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "code_dep_paths": _code_dep_paths_sql(),
         "kg_harmonic": _kg_harmonic_sql(),
         "code_scc": _code_scc_sql(),
+        "code_weighted_deps": _code_weighted_deps_sql(),
         "neardup_cluster_stats": """
             WITH RECURSIVE toks AS (
               SELECT doc_id,

@@ -356,3 +356,103 @@ def strongly_connected_components_sql(edges_sql: str, max_hops: int = 32) -> str
                  AS scc
         FROM scc_nodes n LEFT JOIN labels l ON n.node = l.node
     """
+
+
+def min_plus_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """(src, dst, cost) — all-pairs CHEAPEST-path cost over positive
+    integer edge weights: the tropical-semiring (min, +) generalization of
+    :func:`transitive_closure` (which is this with all weights 1).  The
+    weighted audit question: not "can A reach B" but "how cheaply" —
+    friction-weighted dependency distance, toll-weighted containment.
+
+    Same path-doubling recurrence in the (min, +) semiring: round k holds
+    the exact min cost over paths of ≤ 2^k EDGES (a cheapest path's
+    halves are cheapest for their endpoints), so with positive weights
+    (cheapest paths are simple, ≤ |V|−1 edges) the loop converges in
+    ⌈log2(|V|−1)⌉ + 1 confirmed rounds; the digest guard raises on budget
+    exhaustion exactly as the unweighted form.  Parallel edges fold to
+    their min weight up front.  Deterministic: min over a set.
+
+    Weights must be positive (zero/negative cycles would make the
+    fixpoint ill-defined) — enforced with a cheap assertion aggregate.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("cost"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("cost").alias("cost"))
+    )
+    bad = e.where(F.col("cost") <= 0).count()
+    if bad:
+        raise ValueError(
+            f"min_plus_closure: {bad} edge(s) with non-positive weight — "
+            "the (min, +) fixpoint needs strictly positive costs"
+        )
+    r = truncate_plan_stats(e.localCheckpoint(eager=False))
+    prev = None
+    for _ in range(max_rounds + 1):
+        mid = (
+            r.alias("a")
+            .join(r.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+                (F.col("a.cost") + F.col("b.cost")).alias("cost"),
+            )
+            .where(F.col("src") != F.col("dst"))
+        )
+        r = truncate_plan_stats(
+            r.unionByName(mid)
+            .groupBy("src", "dst")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=False)
+        )
+        digest = tuple(
+            r.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64("src", "dst", "cost")), F.lit(0)
+                ).alias("h"),
+            ).first()
+        )
+        if digest == prev:
+            return r
+        prev = digest
+    raise RuntimeError(
+        f"min_plus_closure: digest still changing after {max_rounds + 1} "
+        "doubling rounds — raise max_rounds"
+    )
+
+
+def min_plus_closure_sql(edges_sql: str, max_hops: int = 32) -> str:
+    """DuckDB twin: recursive-CTE cheapest-path over ``edges_sql``
+    (columns src, dst, weight — positive integers).  Exact iff the
+    cheapest paths use ≤ ``max_hops`` edges (positive weights keep them
+    simple, so |V|−1 suffices)."""
+    return f"""
+        WITH RECURSIVE mp_edges AS (
+            SELECT src, dst, CAST(min(weight) AS BIGINT) AS cost
+            FROM ({edges_sql}) mp_in
+            WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+            GROUP BY src, dst
+        ), walk(src, dst, cost, hops) AS (
+            SELECT src, dst, cost, 1 FROM mp_edges
+            UNION
+            SELECT w.src, e.dst, w.cost + e.cost, w.hops + 1
+            FROM walk w JOIN mp_edges e ON w.dst = e.src
+            WHERE w.src <> e.dst AND w.hops < {max_hops}
+        )
+        SELECT src, dst, CAST(min(cost) AS BIGINT) AS cost
+        FROM walk GROUP BY src, dst
+    """

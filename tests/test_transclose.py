@@ -302,3 +302,77 @@ class TestSCC:
         )
         want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
         assert got == want
+
+
+class TestMinPlus:
+    WEDGES = [
+        # direct a→c costs 10; a→b→c costs 3+4=7 — the weighted route wins
+        ("a", "c", 10), ("a", "b", 3), ("b", "c", 4),
+        # cycle with positive weights (termination) + a parallel edge
+        ("c", "a", 5), ("a", "b", 8),  # parallel a→b folds to min 3
+        ("d", "a", 2),
+    ]
+
+    def _floyd(self, edges):
+        nodes = sorted({n for s, d, _ in edges for n in (s, d)})
+        inf = float("inf")
+        dist = {(u, v): inf for u in nodes for v in nodes}
+        for s, d, w in edges:
+            dist[(s, d)] = min(dist[(s, d)], w)
+        for k in nodes:
+            for i in nodes:
+                for j in nodes:
+                    if dist[(i, k)] + dist[(k, j)] < dist[(i, j)]:
+                        dist[(i, j)] = dist[(i, k)] + dist[(k, j)]
+        return {
+            (u, v): int(c) for (u, v), c in dist.items()
+            if c < inf and u != v
+        }
+
+    def test_matches_floyd_warshall(self, spark):
+        from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+            min_plus_closure,
+        )
+
+        df = spark.createDataFrame(
+            self.WEDGES, "src string, dst string, weight long"
+        )
+        got = {
+            (r["src"], r["dst"]): r["cost"]
+            for r in min_plus_closure(df).collect()
+        }
+        assert got == self._floyd(self.WEDGES)
+        assert got[("a", "c")] == 7  # the 2-hop route beat the direct edge
+
+    def test_rejects_non_positive_weights(self, spark):
+        import pytest as _pytest
+
+        from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+            min_plus_closure,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "b", 0)], "src string, dst string, weight long"
+        )
+        with _pytest.raises(ValueError, match="positive"):
+            min_plus_closure(df)
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+
+        from military_entity_extraction_based_on_large_models_spark.operators.transclose import (
+            min_plus_closure,
+            min_plus_closure_sql,
+        )
+
+        df = spark.createDataFrame(
+            self.WEDGES, "src string, dst string, weight long"
+        )
+        got = sorted(map(tuple, min_plus_closure(df).collect()))
+        vals = ", ".join(f"('{s}', '{d}', {w})" for s, d, w in self.WEDGES)
+        sql = min_plus_closure_sql(
+            f"SELECT * FROM (VALUES {vals}) AS e(src, dst, weight)",
+            max_hops=8,
+        )
+        want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+        assert got == want
