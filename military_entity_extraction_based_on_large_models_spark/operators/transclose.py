@@ -72,19 +72,34 @@ def transitive_closure(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    r = truncate_plan_stats(
-        e.withColumn("hops", F.lit(1).cast("long")).localCheckpoint(eager=False)
+    return _fixpoint_loop(
+        e.withColumn("hops", F.lit(1).cast("long")),
+        _double_round,
+        ["src", "dst", "hops"],
+        max_rounds,
+        "transitive_closure",
     )
+
+
+def _fixpoint_loop(start, round_fn, digest_cols, max_rounds, name):
+    """The shared doubling-loop discipline (transitive_closure and
+    min_plus_closure — ONE home for the checkpoint/digest/confirm/raise
+    pattern so a fix to any part applies to both): apply ``round_fn``
+    with lazy localCheckpoint + plan-stat truncation until the
+    (count, xor-of-xxhash64 over ``digest_cols``) multiset digest repeats
+    — the fold is monotone, so a stable round IS the fixpoint.  Runs up
+    to ``max_rounds + 1`` times (the confirmation round gets its own
+    allowance — boundary-tested at diameter exactly 2^max_rounds) and
+    RAISES on exhaustion rather than return a silent non-fixpoint."""
+    r = truncate_plan_stats(start.localCheckpoint(eager=False))
     prev = None
     for _ in range(max_rounds + 1):
-        r = truncate_plan_stats(
-            _double_round(r).localCheckpoint(eager=False)
-        )
+        r = truncate_plan_stats(round_fn(r).localCheckpoint(eager=False))
         digest = tuple(
             r.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(
-                    F.bit_xor(F.xxhash64("src", "dst", "hops")), F.lit(0)
+                    F.bit_xor(F.xxhash64(*digest_cols)), F.lit(0)
                 ).alias("h"),
             ).first()
         )
@@ -92,8 +107,8 @@ def transitive_closure(
             return r
         prev = digest
     raise RuntimeError(
-        f"transitive_closure: digest still changing after {max_rounds + 1} "
-        f"doubling rounds (diameter > 2^{max_rounds}?) — result would be a "
+        f"{name}: digest still changing after {max_rounds + 1} doubling "
+        f"rounds (diameter > 2^{max_rounds}?) — result would be a "
         "non-fixpoint; raise max_rounds"
     )
 
@@ -336,15 +351,32 @@ def strongly_connected_components(
 
 def strongly_connected_components_sql(edges_sql: str, max_hops: int = 32) -> str:
     """DuckDB twin: the closure CTE joined with its transpose + the same
-    min/self-label fold."""
+    min/self-label fold.  ``edges_sql`` is hoisted into ONE base CTE shared
+    by the closure and the node set (inlining it per use would re-run the
+    edge derivation three times); the node set keeps self-loop-only nodes,
+    matching the Spark side's raw-endpoint derivation."""
     return f"""
-        WITH tc AS ({transitive_closure_sql(edges_sql, max_hops)}),
-        scc_nodes AS (
+        WITH RECURSIVE scc_base AS ({edges_sql}),
+        tc_edges AS (
+            SELECT DISTINCT src, dst FROM scc_base
+            WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+        ), reach(src, dst, hops) AS (
+            SELECT src, dst, 1 FROM tc_edges
+            UNION
+            SELECT r.src, e.dst, r.hops + 1
+            FROM reach r JOIN tc_edges e ON r.dst = e.src
+            WHERE r.src <> e.dst AND r.hops < {max_hops}
+        ), tc AS (
+            SELECT DISTINCT src, dst FROM reach
+        ), scc_nodes AS (
+            -- DISTINCT-wrapped UNION ALL on purpose: inside a WITH
+            -- RECURSIVE block DuckDB parses a CTE whose TOP level is
+            -- UNION as a recursive-union and does NOT set-dedup it
             SELECT DISTINCT node FROM (
-                SELECT src AS node FROM ({edges_sql}) se1
-                UNION
-                SELECT dst AS node FROM ({edges_sql}) se2
-            ) nn WHERE node IS NOT NULL
+                SELECT src AS node FROM scc_base WHERE src IS NOT NULL
+                UNION ALL
+                SELECT dst AS node FROM scc_base WHERE dst IS NOT NULL
+            ) nn
         ), mutual AS (
             SELECT f.src AS a, f.dst AS b
             FROM tc f JOIN tc r ON f.src = r.dst AND f.dst = r.src
@@ -379,8 +411,11 @@ def min_plus_closure(
     exhaustion exactly as the unweighted form.  Parallel edges fold to
     their min weight up front.  Deterministic: min over a set.
 
-    Weights must be positive (zero/negative cycles would make the
-    fixpoint ill-defined) — enforced with a cheap assertion aggregate.
+    Weights must be positive and non-null (zero/negative cycles would
+    make the fixpoint ill-defined; a NULL cost would propagate NULL sums
+    silently) — enforced against the eagerly-checkpointed edge frame, so
+    the guard's count reuses the materialization the loop needs anyway
+    instead of re-running the upstream edge derivation.
     """
     e = (
         edges.select(
@@ -391,17 +426,26 @@ def min_plus_closure(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .where(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
-        .agg(F.min("cost").alias("cost"))
+        # _nulls is counted INSIDE the fold: a null weight hidden behind a
+        # non-null parallel edge would otherwise vanish in min() and
+        # escape the guard
+        .agg(
+            F.min("cost").alias("cost"),
+            F.sum(F.col("cost").isNull().cast("int")).alias("_nulls"),
+        )
+        .localCheckpoint(eager=True)
     )
-    bad = e.where(F.col("cost") <= 0).count()
+    bad = e.where(
+        (F.col("_nulls") > 0) | F.col("cost").isNull() | (F.col("cost") <= 0)
+    ).count()
     if bad:
         raise ValueError(
-            f"min_plus_closure: {bad} edge(s) with non-positive weight — "
-            "the (min, +) fixpoint needs strictly positive costs"
+            f"min_plus_closure: {bad} edge(s) with null or non-positive "
+            "weight — the (min, +) fixpoint needs strictly positive costs"
         )
-    r = truncate_plan_stats(e.localCheckpoint(eager=False))
-    prev = None
-    for _ in range(max_rounds + 1):
+    e = e.drop("_nulls")
+
+    def _round(r):
         mid = (
             r.alias("a")
             .join(r.alias("b"), F.col("a.dst") == F.col("b.src"))
@@ -412,26 +456,14 @@ def min_plus_closure(
             )
             .where(F.col("src") != F.col("dst"))
         )
-        r = truncate_plan_stats(
+        return (
             r.unionByName(mid)
             .groupBy("src", "dst")
             .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=False)
         )
-        digest = tuple(
-            r.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(
-                    F.bit_xor(F.xxhash64("src", "dst", "cost")), F.lit(0)
-                ).alias("h"),
-            ).first()
-        )
-        if digest == prev:
-            return r
-        prev = digest
-    raise RuntimeError(
-        f"min_plus_closure: digest still changing after {max_rounds + 1} "
-        "doubling rounds — raise max_rounds"
+
+    return _fixpoint_loop(
+        e, _round, ["src", "dst", "cost"], max_rounds, "min_plus_closure"
     )
 
 

@@ -233,9 +233,7 @@ def test_boundary_diameter_exactly_power_of_two(spark):
 class TestSCC:
     def _brute_scc(self, edges):
         closure = _brute_closure(edges)
-        nodes = {n for e in edges for n in e if e[0] != e[1]} | {
-            n for e in edges for n in e
-        }
+        nodes = {n for e in edges for n in e}
         out = {}
         for v in nodes:
             mutual = [
