@@ -178,6 +178,14 @@ def pairs_from_buckets(
     ``exact_dedup`` upstream.  Pass ``None`` for the exhaustive behavior.
     The cap is a documented semantic (not silent truncation): candidates
     WITHIN an oversized bucket are not emitted."""
+    # value-wise no-op (band is a posexplode position, bucket an xxhash64 —
+    # neither is ever null), but REQUIRED for exchange reuse: the big-bucket
+    # inner self-join infers isnotnull(band)/isnotnull(bucket) and pushes
+    # them below the aggregate, so without the same filter here the small
+    # branch's exchange is canonically different and the expensive banding
+    # subtree (shingles + 32-way minhash over every doc) executes twice.
+    # With it, all three consumers collapse onto ONE ReusedExchange.
+    banded = banded.where(F.col("band").isNotNull() & F.col("bucket").isNotNull())
     grouped = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
@@ -202,8 +210,19 @@ def pairs_from_buckets(
     )
     a = big.select("band", "bucket", F.explode("ids").alias("id_a"))
     b = big.select("band", "bucket", F.explode("ids").alias("id_b"))
+    # SHUFFLE_HASH, not the planner's pick: size estimates after the
+    # aggregate are tiny, so Catalyst BROADCASTS one side — and a
+    # BroadcastExchange cannot reuse the shuffle Exchange the other two
+    # branches read, so the whole upstream banding pipeline (shingles +
+    # 32-way minhash over every doc) executed a SECOND time just to build
+    # a broadcast of the (usually empty) big-bucket side.  Both sides of a
+    # shuffled-hash join keep hash(band, bucket) partitioning, which the
+    # aggregate's own exchange already provides — explode preserves it —
+    # so all three consumers collapse onto ONE ReusedExchange and no new
+    # exchange or sort is added.  (Measured at sf1: pairs stage 5.2 s →
+    # banding-only cost; plan: 3 copies of the banding subtree → 1.)
     big_pairs = (
-        a.join(b, ["band", "bucket"])
+        a.join(b.hint("shuffle_hash"), ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )

@@ -83,12 +83,23 @@ def brute_force_topk(
     making the "cross" join a map-side nested loop with no corpus shuffle;
     the only shuffle is the final per-query top-k.
     """
+    # norms hoisted OUT of the pair loop: V.cosine inline would re-fold
+    # norm(cv) once per (row, query) pair and norm(qv) once per corpus row
+    # — 3 array folds per pair.  Computing each side's norm once before the
+    # join leaves one dot-fold per pair (same expressions, same fp op
+    # order, so cosine values — and thus ranks — are bit-identical).
     c = scale_out(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    )
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    ).withColumn("_nc", V.norm(F.col("cv")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("_nq", V.norm(F.col("qv")))
+    denom = F.col("_nc") * F.col("_nq")
     scored = c.crossJoin(F.broadcast(q)).withColumn(
-        "cosine", V.cosine(F.col("cv"), F.col("qv"))
+        "cosine",
+        F.when(denom > 0, V.dot(F.col("cv"), F.col("qv")) / denom).otherwise(
+            F.lit(0.0)
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
