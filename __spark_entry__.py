@@ -291,11 +291,11 @@ def q3_top_revenue_orders(spark, sf_dir):
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
     # no explicit broadcast of the filtered orders: a forced broadcast
-    # rebuilds a ~300k-row relation on the driver every run (measured
-    # slower than the shuffle join at sf1: 1.05 s vs 0.78 s), while AQE
-    # sees the post-shuffle size at runtime and converts to a broadcast /
-    # local-shuffle-read join itself exactly when the side is small —
-    # scale-adaptive with no file-size heuristic.
+    # rebuilds a ~300k-row relation on the driver every run — interleaved
+    # fresh-JVM A/B at sf1 read shuffle 1.06 s vs broadcast 1.20 s warm —
+    # and the shuffle join stays scale-safe (the side grows with sf; AQE
+    # sees the true post-shuffle size at runtime and may still convert
+    # when it is genuinely small).
     return (
         li.join(building, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
