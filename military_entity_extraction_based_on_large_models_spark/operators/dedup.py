@@ -150,6 +150,7 @@ def pairs_from_buckets(
     banded: DataFrame,
     max_bucket_size: int | None = 10_000,
     array_path_max: int = 512,
+    distinct: bool = True,
 ) -> DataFrame:
     """(id, band, bucket) → distinct candidate pairs (id_a < id_b).
 
@@ -177,7 +178,16 @@ def pairs_from_buckets(
     collapse to one signature — whose members are better handled by
     ``exact_dedup`` upstream.  Pass ``None`` for the exhaustive behavior.
     The cap is a documented semantic (not silent truncation): candidates
-    WITHIN an oversized bucket are not emitted."""
+    WITHIN an oversized bucket are not emitted.
+
+    ``distinct=False`` returns the pair MULTISET (a pair repeats once per
+    shared band) and skips the dedup shuffle — for consumers that apply a
+    selective per-pair filter first and dedup the survivors (r7:
+    ``ngram_jaccard_pairs(distinct_candidates=False)``).  On weakly-
+    selective generators the distinct is the dominant candidate-stage
+    shuffle (simhash 8-bit bands at sf0.1: 6.8M raw pairs), and
+    ``distinct ∘ filter ≡ filter ∘ distinct`` for a deterministic per-row
+    filter, so deferring it is output-neutral."""
     # value-wise no-op (band is a posexplode position, bucket an xxhash64 —
     # neither is ever null), but REQUIRED for exchange reuse: the big-bucket
     # inner self-join infers isnotnull(band)/isnotnull(bucket) and pushes
@@ -226,7 +236,8 @@ def pairs_from_buckets(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    return small_pairs.unionByName(big_pairs).distinct()
+    out = small_pairs.unionByName(big_pairs)
+    return out.distinct() if distinct else out
 
 
 def minhash_lsh_pairs(
@@ -261,10 +272,19 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_sha",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    distinct_candidates: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (or LSH candidates if None).
 
     Returns (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold.
+
+    ``distinct_candidates=False`` declares that ``candidate_pairs`` is a
+    MULTISET (e.g. a generator called with ``distinct=False``): the dedup
+    shuffle then runs on the slim size-bound SURVIVORS instead of the raw
+    pair stream — ``distinct ∘ filter ≡ filter ∘ distinct`` for this
+    deterministic per-row bound, so the output set is identical while a
+    weakly-selective generator's dominant shuffle (6.8M raw simhash pairs
+    → 727k survivors at sf0.1) disappears.
     """
     if candidate_pairs is None:
         candidate_pairs = minhash_lsh_pairs(
@@ -273,25 +293,48 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("id"), T.shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    joined = (
-        candidate_pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-    )
-    # size-bound prefilter: |A∩B| ≤ min(|A|,|B|) and x/(|A|+|B|−x) is
-    # monotone in x (correctly-rounded double division preserves the
-    # monotonicity — both sides are exact small ints), so
+    # size-bound prefilter, SLIM-FIRST: |A∩B| ≤ min(|A|,|B|) and
+    # x/(|A|+|B|−x) is monotone in x (correctly-rounded double division
+    # preserves the monotonicity — both sides are exact small ints), so
     # J(A,B) ≤ min/(|A|+|B|−min).  Pairs whose bound is below the
-    # threshold cannot pass the final filter and are dropped BEFORE the
-    # O(n) intersect — on weakly-selective candidate generators (simhash
-    # 8-bit bands on a low-entropy corpus: 5.1M candidates at sf0.1) this
-    # skips most of the per-pair array work.  Output provably unchanged.
+    # threshold cannot pass the final filter, so they are dropped before
+    # ANY shingle array moves: the candidate stream first joins only
+    # (id, |shingles|) — a couple of ints per row instead of the ~KB
+    # arrays — and the arrays are joined back for survivors alone.  On
+    # weakly-selective candidate generators (simhash 8-bit bands on a
+    # low-entropy corpus: 5.1M candidates at sf0.1, <1% surviving the
+    # bound) this removes both the array shuffle to millions of doomed
+    # pairs and their per-pair intersect work; the slim pass costs one
+    # extra shingle-size evaluation over the corpus plus two narrow
+    # joins.  Output provably unchanged — the bound filter commutes with
+    # the array join because it reads only the sizes.
     # (guarded on threshold > 0: at threshold ≤ 0 the final filter keeps
     # zero-jaccard pairs, which the 0/0 bound of two empty arrays would
     # mis-drop)
     if threshold > 0:
-        mn = F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
-        bound = mn / ((F.size("sh_a") + F.size("sh_b")).cast("double") - mn)
-        joined = joined.where(bound >= threshold)
+        sizes = sh.select("id", F.size("sh").alias("_n"))
+        slim = (
+            candidate_pairs.join(
+                sizes.withColumnRenamed("id", "id_a").withColumnRenamed("_n", "_na"),
+                "id_a",
+            ).join(
+                sizes.withColumnRenamed("id", "id_b").withColumnRenamed("_n", "_nb"),
+                "id_b",
+            )
+        )
+        mn = F.least("_na", "_nb").cast("double")
+        bound = mn / ((F.col("_na") + F.col("_nb")).cast("double") - mn)
+        candidate_pairs = slim.where(bound >= threshold).select("id_a", "id_b")
+        if not distinct_candidates:
+            candidate_pairs = candidate_pairs.distinct()
+    elif not distinct_candidates:
+        # no slim stage to defer past — dedup the multiset up front so the
+        # array joins and the emitted rows stay set-semantics
+        candidate_pairs = candidate_pairs.distinct()
+    joined = (
+        candidate_pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
     # |A ∪ B| = |A| + |B| − |A ∩ B|: shingle arrays are distinct-element
     # (array_distinct upstream), so the identity is exact and the
     # array_union pass — a second hash-set build + array materialization
@@ -354,6 +397,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_sha",
     n_bands: int = 4,
     max_hamming: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any 16-bit simhash band (Hamming-
     distance blocking, Manku-Jain-Sarma style).
@@ -367,7 +411,11 @@ def simhash_neardup_pairs(
     between verifying 232k pairs and 2k.  None (default) keeps the pure
     banding semantics — the Hamming cap is probabilistic (a J >= 0.9 pair
     can exceed it), so the pigeonhole recall guarantee only covers pairs
-    within the cap."""
+    within the cap.
+
+    ``distinct=False`` passes through to ``pairs_from_buckets``: the pair
+    multiset (one row per shared band) with no dedup shuffle, for
+    filter-first consumers (see pairs_from_buckets)."""
     sh = simhash(docs, text_col, id_col)
     width = 64 // n_bands
     band_buckets = F.array(
@@ -379,7 +427,7 @@ def simhash_neardup_pairs(
         ]
     )
     banded = sh.select("id", F.posexplode(band_buckets).alias("band", "bucket"))
-    cand = pairs_from_buckets(banded)
+    cand = pairs_from_buckets(banded, distinct=distinct)
     if max_hamming is not None:
         sa = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("_ha"))
         sb = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("_hb"))

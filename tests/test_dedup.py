@@ -51,6 +51,94 @@ def test_ngram_jaccard_verifies(spark):
     assert all(0.5 <= r["jaccard"] <= 1.0 for r in verified)
 
 
+def test_ngram_jaccard_slim_prefilter_equivalence(spark):
+    """r7 slim-first size-bound join: output identical to brute force on a
+    fixture with size-disparate (bound-pruned) pairs; threshold <= 0 keeps
+    zero-jaccard pairs (the 0/0-bound guard skips the slim path); the plan
+    pins the slim-first shape (2 narrow joins before the 2 array joins)."""
+    import re
+
+    from military_entity_extraction_based_on_large_models_spark.functions import text as T
+
+    texts = [
+        BASE,
+        BASE.replace("dawn", "dusk"),
+        BASE + " with a long extra tail of additional trailing words appended",
+        "tiny",
+        "",
+    ]
+    docs = _docs(spark, texts)
+    ids = [f"d{i:03d}" for i in range(len(texts))]
+    all_pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]], ["id_a", "id_b"]
+    )
+    sh = {
+        r["doc_sha"]: set(r["sh"])
+        for r in docs.select(
+            "doc_sha", T.shingles(F.col("content"), 3).alias("sh")
+        ).collect()
+    }
+
+    def jac(a, b):
+        u = sh[a] | sh[b]
+        return len(sh[a] & sh[b]) / len(u) if u else 0.0
+
+    for thr in (0.5, 0.0):
+        got = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+            for r in dedup.ngram_jaccard_pairs(
+                docs, candidate_pairs=all_pairs, threshold=thr
+            ).collect()
+        }
+        want = {
+            (a, b, round(jac(a, b), 6))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if jac(a, b) >= thr
+        }
+        assert got == want, (thr, got ^ want)
+
+    def n_joins(df):
+        # "simple" mode prints each operator once ("formatted" repeats each
+        # in its details section, doubling the count)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        return len(re.findall(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan))
+
+    assert n_joins(dedup.ngram_jaccard_pairs(docs, candidate_pairs=all_pairs, threshold=0.5)) == 4
+    assert n_joins(dedup.ngram_jaccard_pairs(docs, candidate_pairs=all_pairs, threshold=0.0)) == 2
+
+    # multiset candidates (distinct_candidates=False, the deferred-distinct
+    # path): duplicated candidate rows must yield the identical SET output,
+    # with and without a slim stage to defer past
+    dup_pairs = all_pairs.unionByName(all_pairs).unionByName(all_pairs.limit(3))
+    for thr in (0.5, 0.0):
+        got = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+            for r in dedup.ngram_jaccard_pairs(
+                docs, candidate_pairs=dup_pairs, threshold=thr,
+                distinct_candidates=False,
+            ).collect()
+        )
+        want = sorted(
+            (a, b, round(jac(a, b), 6))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if jac(a, b) >= thr
+        )
+        assert got == want, (thr, got, want)
+
+    # generator passthrough: distinct=False emits the per-band multiset
+    # whose distinct equals the default output
+    raw = dedup.simhash_neardup_pairs(docs, n_bands=8, distinct=False)
+    dflt = dedup.simhash_neardup_pairs(docs, n_bands=8)
+    assert sorted(map(tuple, raw.distinct().collect())) == sorted(
+        map(tuple, dflt.collect())
+    )
+    assert raw.count() >= dflt.count()
+
+
 def test_simhash_deterministic_and_blocks(spark):
     near = BASE.replace("dawn", "dusk")
     docs = _docs(spark, [BASE, near, "zzz qqq entirely disjoint vocabulary xxx yyy www"])
