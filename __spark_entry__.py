@@ -579,17 +579,20 @@ def q_dedup_simhash_verified(spark, sf_dir):
     # 8 disjoint 8-bit bands: pigeonhole-guaranteed recall for Hamming ≤ 7
     # (the corpus' true J≥0.9 pairs measure Hamming ≤ 5); the coarser buckets
     # cost extra candidates, which the exact verification then discards
-    # distinct=False / distinct_candidates=False: the 8-bit bands are
-    # weakly selective on this low-entropy corpus (6.8M raw pairs at
-    # sf0.1), so the candidate dedup shuffle is deferred past the slim
-    # size-bound filter and runs on the ~10× smaller survivor set —
-    # output-identical (filter commutes with distinct), oracle-gated
+    # slim_prefilter + distinct=False/distinct_candidates=False: the 8-bit
+    # bands are WEAKLY selective on this low-entropy corpus (6.8M raw
+    # pairs at sf0.1, <11% passing the size bound), so the slim-first
+    # verify regime applies and the candidate dedup shuffle is deferred
+    # past the size-bound filter onto the ~10× smaller survivor set —
+    # output-identical (filter commutes with distinct), oracle-gated.
+    # (The minhash compositions keep the default inline regime: their
+    # candidates are strongly selective — see ngram_jaccard_pairs doc.)
     cands = dedup.simhash_neardup_pairs(
         d, text_col="text", id_col="doc_id", n_bands=8, distinct=False
     )
     verified = dedup.ngram_jaccard_pairs(
         d, cands, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.9,
-        distinct_candidates=False,
+        distinct_candidates=False, slim_prefilter=True,
     )
     return verified.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")

@@ -273,18 +273,36 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     distinct_candidates: bool = True,
+    slim_prefilter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (or LSH candidates if None).
 
     Returns (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold.
 
+    Two verify-stage regimes, chosen by the CANDIDATE GENERATOR'S
+    SELECTIVITY (sf10 A/B in OPTIMIZATION_r07.md §7):
+
+    * ``slim_prefilter=False`` (default — right for SELECTIVE generators
+      like banded MinHash, where most candidates survive the size bound):
+      arrays join directly and the size-bound prefilter runs as the join
+      condition.  Adding a slim pass here is pure overhead — measured
+      +81 s on 26M minhash candidates at sf10 (survivors ≈ candidates,
+      so the arrays ship anyway and the two extra joins buy nothing).
+    * ``slim_prefilter=True`` (right for WEAKLY-selective generators like
+      coarse simhash bands, where the bound kills most candidates): the
+      candidate stream first joins only (id, |shingles|) and the bound
+      drops doomed pairs before ANY shingle array moves; arrays join
+      back for survivors alone.  6.8M raw simhash pairs → 727k
+      survivors at sf0.1, end-to-end warm 6.5 → 5.1 s.
+
     ``distinct_candidates=False`` declares that ``candidate_pairs`` is a
-    MULTISET (e.g. a generator called with ``distinct=False``): the dedup
-    shuffle then runs on the slim size-bound SURVIVORS instead of the raw
-    pair stream — ``distinct ∘ filter ≡ filter ∘ distinct`` for this
-    deterministic per-row bound, so the output set is identical while a
-    weakly-selective generator's dominant shuffle (6.8M raw simhash pairs
-    → 727k survivors at sf0.1) disappears.
+    MULTISET (e.g. a generator called with ``distinct=False``).  With
+    ``slim_prefilter=True`` the dedup shuffle then runs on the slim
+    size-bound SURVIVORS instead of the raw pair stream —
+    ``distinct ∘ filter ≡ filter ∘ distinct`` for this deterministic
+    per-row bound, so the output set is identical; otherwise the
+    multiset is deduped up front.  Either way the emitted rows are
+    set-semantics, identical to the default path.
     """
     if candidate_pairs is None:
         candidate_pairs = minhash_lsh_pairs(
@@ -293,25 +311,17 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("id"), T.shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    # size-bound prefilter, SLIM-FIRST: |A∩B| ≤ min(|A|,|B|) and
+    # size-bound prefilter (both regimes): |A∩B| ≤ min(|A|,|B|) and
     # x/(|A|+|B|−x) is monotone in x (correctly-rounded double division
     # preserves the monotonicity — both sides are exact small ints), so
-    # J(A,B) ≤ min/(|A|+|B|−min).  Pairs whose bound is below the
-    # threshold cannot pass the final filter, so they are dropped before
-    # ANY shingle array moves: the candidate stream first joins only
-    # (id, |shingles|) — a couple of ints per row instead of the ~KB
-    # arrays — and the arrays are joined back for survivors alone.  On
-    # weakly-selective candidate generators (simhash 8-bit bands on a
-    # low-entropy corpus: 5.1M candidates at sf0.1, <1% surviving the
-    # bound) this removes both the array shuffle to millions of doomed
-    # pairs and their per-pair intersect work; the slim pass costs one
-    # extra shingle-size evaluation over the corpus plus two narrow
-    # joins.  Output provably unchanged — the bound filter commutes with
-    # the array join because it reads only the sizes.
+    # J(A,B) ≤ min/(|A|+|B|−min); pairs whose bound is below the
+    # threshold cannot pass the final filter and are dropped before the
+    # O(n) intersect.  Output provably unchanged in both regimes.
     # (guarded on threshold > 0: at threshold ≤ 0 the final filter keeps
     # zero-jaccard pairs, which the 0/0 bound of two empty arrays would
     # mis-drop)
-    if threshold > 0:
+    slim_bound_applied = False
+    if threshold > 0 and slim_prefilter:
         sizes = sh.select("id", F.size("sh").alias("_n"))
         slim = (
             candidate_pairs.join(
@@ -325,6 +335,7 @@ def ngram_jaccard_pairs(
         mn = F.least("_na", "_nb").cast("double")
         bound = mn / ((F.col("_na") + F.col("_nb")).cast("double") - mn)
         candidate_pairs = slim.where(bound >= threshold).select("id_a", "id_b")
+        slim_bound_applied = True
         if not distinct_candidates:
             candidate_pairs = candidate_pairs.distinct()
     elif not distinct_candidates:
@@ -335,6 +346,10 @@ def ngram_jaccard_pairs(
         candidate_pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     )
+    if threshold > 0 and not slim_bound_applied:
+        mn = F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+        bound = mn / ((F.size("sh_a") + F.size("sh_b")).cast("double") - mn)
+        joined = joined.where(bound >= threshold)
     # |A ∪ B| = |A| + |B| − |A ∩ B|: shingle arrays are distinct-element
     # (array_distinct upstream), so the identity is exact and the
     # array_union pass — a second hash-set build + array materialization

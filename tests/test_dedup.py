@@ -84,19 +84,21 @@ def test_ngram_jaccard_slim_prefilter_equivalence(spark):
         return len(sh[a] & sh[b]) / len(u) if u else 0.0
 
     for thr in (0.5, 0.0):
-        got = {
-            (r["id_a"], r["id_b"], round(r["jaccard"], 6))
-            for r in dedup.ngram_jaccard_pairs(
-                docs, candidate_pairs=all_pairs, threshold=thr
-            ).collect()
-        }
-        want = {
-            (a, b, round(jac(a, b), 6))
-            for i, a in enumerate(ids)
-            for b in ids[i + 1 :]
-            if jac(a, b) >= thr
-        }
-        assert got == want, (thr, got ^ want)
+        for slim in (False, True):
+            got = {
+                (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+                for r in dedup.ngram_jaccard_pairs(
+                    docs, candidate_pairs=all_pairs, threshold=thr,
+                    slim_prefilter=slim,
+                ).collect()
+            }
+            want = {
+                (a, b, round(jac(a, b), 6))
+                for i, a in enumerate(ids)
+                for b in ids[i + 1 :]
+                if jac(a, b) >= thr
+            }
+            assert got == want, (thr, slim, got ^ want)
 
     def n_joins(df):
         # "simple" mode prints each operator once ("formatted" repeats each
@@ -106,28 +108,33 @@ def test_ngram_jaccard_slim_prefilter_equivalence(spark):
         )
         return len(re.findall(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan))
 
-    assert n_joins(dedup.ngram_jaccard_pairs(docs, candidate_pairs=all_pairs, threshold=0.5)) == 4
-    assert n_joins(dedup.ngram_jaccard_pairs(docs, candidate_pairs=all_pairs, threshold=0.0)) == 2
+    # slim_prefilter=True plans 4 joins (2 slim before 2 array); the
+    # default inline regime (and threshold<=0, where there is no bound)
+    # plans only the 2 array joins
+    assert n_joins(dedup.ngram_jaccard_pairs(docs, candidate_pairs=all_pairs, threshold=0.5, slim_prefilter=True)) == 4
+    assert n_joins(dedup.ngram_jaccard_pairs(docs, candidate_pairs=all_pairs, threshold=0.5)) == 2
+    assert n_joins(dedup.ngram_jaccard_pairs(docs, candidate_pairs=all_pairs, threshold=0.0, slim_prefilter=True)) == 2
 
     # multiset candidates (distinct_candidates=False, the deferred-distinct
     # path): duplicated candidate rows must yield the identical SET output,
-    # with and without a slim stage to defer past
+    # in both regimes and with and without a slim stage to defer past
     dup_pairs = all_pairs.unionByName(all_pairs).unionByName(all_pairs.limit(3))
     for thr in (0.5, 0.0):
-        got = sorted(
-            (r["id_a"], r["id_b"], round(r["jaccard"], 6))
-            for r in dedup.ngram_jaccard_pairs(
-                docs, candidate_pairs=dup_pairs, threshold=thr,
-                distinct_candidates=False,
-            ).collect()
-        )
-        want = sorted(
-            (a, b, round(jac(a, b), 6))
-            for i, a in enumerate(ids)
-            for b in ids[i + 1 :]
-            if jac(a, b) >= thr
-        )
-        assert got == want, (thr, got, want)
+        for slim in (False, True):
+            got = sorted(
+                (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+                for r in dedup.ngram_jaccard_pairs(
+                    docs, candidate_pairs=dup_pairs, threshold=thr,
+                    distinct_candidates=False, slim_prefilter=slim,
+                ).collect()
+            )
+            want = sorted(
+                (a, b, round(jac(a, b), 6))
+                for i, a in enumerate(ids)
+                for b in ids[i + 1 :]
+                if jac(a, b) >= thr
+            )
+            assert got == want, (thr, slim, got, want)
 
     # generator passthrough: distinct=False emits the per-band multiset
     # whose distinct equals the default output
