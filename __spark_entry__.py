@@ -1329,9 +1329,25 @@ def q_backend_fallback(spark, sf_dir):
     fallback = kg_mentions(docs, FALLBACK_GAZETTEER).select(
         F.col("path").cast("bigint").alias("doc_id"), "name", "label"
     )
-    primary_docs = primary.select("doc_id").distinct()
-    fb_only = fallback.join(primary_docs, "doc_id", "left_anti")
-    return primary.unionByName(fb_only).distinct()
+    # r7: single-pass coalesce.  The anti-join formulation
+    # (fallback LEFT ANTI JOIN primary.select(doc_id).distinct()) ran the
+    # ENTIRE primary extraction a second time — the doc_id-pruned distinct
+    # subtree is canonically different from the full extraction, so no
+    # exchange reuse (6 parquet scans in the executed plan).  Tagging each
+    # backend and keeping a doc's rows only at the doc's minimum tag is
+    # the same semantics — primary rows always win; fallback rows survive
+    # exactly when the doc has no primary row — with each extraction
+    # evaluated once and one window shuffle over the union (4 scans).
+    from pyspark.sql import Window
+
+    tagged = primary.withColumn("_b", F.lit(0)).unionByName(
+        fallback.withColumn("_b", F.lit(1))
+    )
+    w = Window.partitionBy("doc_id")
+    kept = tagged.withColumn("_mb", F.min("_b").over(w)).where(
+        F.col("_b") == F.col("_mb")
+    )
+    return kept.select("doc_id", "name", "label").distinct()
 
 
 def q_media_features(spark, sf_dir):
