@@ -1333,11 +1333,12 @@ def q_backend_fallback(spark, sf_dir):
     # (fallback LEFT ANTI JOIN primary.select(doc_id).distinct()) ran the
     # ENTIRE primary extraction a second time — the doc_id-pruned distinct
     # subtree is canonically different from the full extraction, so no
-    # exchange reuse (6 parquet scans in the executed plan).  Tagging each
-    # backend and keeping a doc's rows only at the doc's minimum tag is
-    # the same semantics — primary rows always win; fallback rows survive
-    # exactly when the doc has no primary row — with each extraction
-    # evaluated once and one window shuffle over the union (4 scans).
+    # exchange reuse (7 scans in the executed final plan; 5 after).
+    # Tagging each backend and keeping a doc's rows only at the doc's
+    # minimum tag is the same semantics — primary rows always win;
+    # fallback rows survive exactly when the doc has no primary row —
+    # with each extraction evaluated once and one window shuffle over
+    # the union.
     from pyspark.sql import Window
 
     tagged = primary.withColumn("_b", F.lit(0)).unionByName(

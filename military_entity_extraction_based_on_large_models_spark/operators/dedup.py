@@ -532,27 +532,44 @@ def lsh_pairs_incremental(
     downstream verify/CC composition is unchanged.  ``max_bucket_size``
     keeps the degenerate-bucket semantic: corpus buckets over the cap are
     skipped in the cross join (their members are exact_dedup's job), and
-    the new×new triangle inherits pairs_from_buckets' own cap.
+    the new×new triangle inherits pairs_from_buckets' own cap.  (r7: the
+    cap counts DISTINCT corpus members per bucket — identical to the row
+    count for ``minhash_band_table``-produced inputs, which emit exactly
+    one row per (id, band).)
+
+    Plan shape (r7): each banding is aggregated ONCE.  The old row-level
+    formulation consumed ``corpus_bands`` twice (eligibility count + the
+    join) and ``new_bands`` twice (cross join + the intra triangle), and
+    none of the four subtrees could reuse another's exchange — the whole
+    shingle+minhash pass over each side executed twice.  Both sides now
+    fold to per-bucket sorted id arrays; the cross pairs come from one
+    bucket-aligned join of the two aggregates, and the new-batch
+    aggregate is canonically identical to pairs_from_buckets' bucket
+    aggregate (same pre-applied isnotnull filter, same sorted
+    collect_set), so the intra triangle reads it as a ReusedExchange.
     """
-    corp = corpus_bands.select(
-        F.col("id").alias("_cid"), "band", "bucket"
+    nb = new_bands.where(
+        F.col("band").isNotNull() & F.col("bucket").isNotNull()
+    )
+    nagg = nb.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
+    )
+    corp = corpus_bands.select(F.col("id").alias("_cid"), "band", "bucket")
+    corp = corp.where(F.col("band").isNotNull() & F.col("bucket").isNotNull())
+    cagg = corp.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set("_cid")).alias("_cids")
     )
     if max_bucket_size is not None:
-        eligible = (
-            corp.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") <= max_bucket_size)
-            .select("band", "bucket")
-        )
-        corp = corp.join(eligible, ["band", "bucket"])
+        cagg = cagg.where(F.size("_cids") <= max_bucket_size)
     cross = (
-        new_bands.select(F.col("id").alias("_nid"), "band", "bucket")
-        .join(corp, ["band", "bucket"])
+        nagg.join(cagg, ["band", "bucket"])
+        .select(F.explode("ids").alias("_nid"), "_cids")
+        .select("_nid", F.explode("_cids").alias("_cid"))
         .select(
             F.least("_nid", "_cid").alias("id_a"),
             F.greatest("_nid", "_cid").alias("id_b"),
         )
         .where(F.col("id_a") != F.col("id_b"))
     )
-    intra = pairs_from_buckets(new_bands, max_bucket_size=max_bucket_size)
+    intra = pairs_from_buckets(nb, max_bucket_size=max_bucket_size)
     return cross.unionByName(intra).distinct()
