@@ -547,6 +547,11 @@ def lsh_pairs_incremental(
     aggregate is canonically identical to pairs_from_buckets' bucket
     aggregate (same pre-applied isnotnull filter, same sorted
     collect_set), so the intra triangle reads it as a ReusedExchange.
+    The corpus aggregate collects ids BEFORE the cap filter — the same
+    collect-then-filter semantics pairs_from_buckets has always used for
+    every bucket of the full corpus, so no new degenerate-bucket memory
+    class is introduced: mass-duplicate classes are exact_dedup's job
+    upstream, per the existing contract.
     """
     nb = new_bands.where(
         F.col("band").isNotNull() & F.col("bucket").isNotNull()
